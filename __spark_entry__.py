@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction query (transcripts ->
+vectorized mention detection -> (subj, pred, obj) triples) at sf0.001.
+``queries()`` exposes each implemented operator from SURVEY.md §2;
+``oracle_sql()`` gives its DuckDB twin (same column names, same rounding).
 """
 
 from __future__ import annotations
@@ -13,26 +12,64 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kie_invoice_minimal_spark.functions import duckdb_oracle
+from kie_invoice_minimal_spark.operators import relational as R
+from kie_invoice_minimal_spark.operators.mention_detect import detect_mentions_arrow
+from kie_invoice_minimal_spark.plans.pipeline import extract_triples_df
+from kie_invoice_minimal_spark.sources.transcripts import transcripts_from_documents
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    return extract_triples_df(t, engine="arrow")
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_triples_df(transcripts_from_documents(spark, sf_dir), engine="arrow")
+
+
+def _kg_triples_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_triples_df(transcripts_from_documents(spark, sf_dir), engine="native")
+
+
+def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship KG pipeline (SURVEY.md §3; D1-D7 + R1-R4 + O1)
+        "kg_triples": _kg_triples,
+        "kg_triples_native": _kg_triples_native,
+        "kg_mentions": _kg_mentions,
+        # relational operator library (SURVEY.md §2)
+        "g5_ordered_concat": R.g5_ordered_concat,
+        "e3_minmax_normalize": R.e3_minmax_normalize,
+        "a5_group_standardize": R.a5_group_standardize,
+        "a6_readout": R.a6_readout,
+        "o5_label_rollup": R.o5_label_rollup,
+        "a8_threshold_classify": R.a8_threshold_classify,
+        "o4_error_analysis": R.o4_error_analysis,
+        "g3_nearest_neighbor": R.g3_nearest_neighbor,
+        "e2_band_self_join": R.e2_band_self_join,
+        "g6_stratified_split": R.g6_stratified_split,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_triples": duckdb_oracle.triples_sql(),
+        "kg_triples_native": duckdb_oracle.triples_sql(),
+        "kg_mentions": duckdb_oracle.mentions_sql(),
+        "g5_ordered_concat": R.G5_SQL,
+        "e3_minmax_normalize": R.E3_SQL,
+        "a5_group_standardize": R.A5_SQL,
+        "a6_readout": R.A6_SQL,
+        "o5_label_rollup": R.O5_SQL,
+        "a8_threshold_classify": R.A8_SQL,
+        "o4_error_analysis": R.O4_SQL,
+        "g3_nearest_neighbor": R.G3_SQL,
+        "e2_band_self_join": R.E2_SQL,
+        "g6_stratified_split": R.G6_SQL,
+    }

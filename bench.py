@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark runner — prints ONE JSON line for the driver.
+
+Times every ``__spark_entry__.queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the
+flagship KG pipeline over a synthesized transcripts table sized to the SF
+(the documents table stays small across SFs, so the pipeline is benched on
+synth turns: sf0.1 -> 600k turns).  Results are materialized to the noop
+sink so we measure engine work, not driver collect.
+
+Output: {"metric": "...", "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from kie_invoice_minimal_spark.plans.pipeline import extract_triples_df  # noqa: E402
+from kie_invoice_minimal_spark.session import get_spark  # noqa: E402
+from kie_invoice_minimal_spark.sources.transcripts import synth_transcripts  # noqa: E402
+
+SF_TURNS = {"0.001": 6_000, "0.01": 60_000, "0.1": 600_000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_turns = SF_TURNS.get(sf, 60_000)
+
+    spark = get_spark(
+        app_name="kie-kg-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # Flagship: synth transcripts -> triples (arrow + native engines).
+    transcripts = synth_transcripts(spark, n_turns).persist()
+    n_actual = transcripts.count()  # materialize input outside the timing
+    for eng in ("arrow", "native"):
+        t0 = time.time()
+        _materialize(extract_triples_df(transcripts, engine=eng))
+        timings[f"kg_pipeline_{eng}"] = round(time.time() - t0, 3)
+    turns_per_sec = round(n_actual / timings["kg_pipeline_arrow"], 1)
+    transcripts.unpersist()
+
+    # Operator library at sf_dir.
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_and_operator_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_turns": n_actual,
+                "turns_per_sec": turns_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""DuckDB twins of the KG pipeline stages, generated from the SAME constants
+as the Spark implementation (:mod:`.rules`, :mod:`..sources.transcripts`)
+so the dialects cannot drift.  Used by ``__spark_entry__.oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from . import rules
+from ..sources.transcripts import duckdb_transcripts_sql
+
+
+def _in_list(tokens: tuple[str, ...]) -> str:
+    return ",".join(f"'{t}'" for t in tokens)
+
+
+def _classify_case() -> str:
+    """The rule CASE — mirrors rules.classify_token / the Spark detectors."""
+    mfg_l = _in_list(rules.MFG_LABEL_TOKENS)
+    exp_l = _in_list(rules.EXP_LABEL_TOKENS)
+    wt_l = _in_list(rules.WEIGHT_LABEL_TOKENS)
+    brands = _in_list(tuple(sorted(rules.BRAND_GAZETTEER)))
+    names = _in_list(tuple(sorted(rules.NAME_GAZETTEER)))
+    return f"""
+      CASE
+        WHEN lower(tok) IN ({mfg_l}) THEN 'MFG_LABEL'
+        WHEN lower(tok) IN ({exp_l}) THEN 'EXP_LABEL'
+        WHEN lower(tok) IN ({wt_l}) THEN 'WEIGHT_LABEL'
+        WHEN regexp_matches(tok, '{rules.DATE_RE_SQL}') THEN
+          CASE WHEN lower(coalesce(prev, '')) IN ({mfg_l}) THEN 'MFG'
+               WHEN lower(coalesce(prev, '')) IN ({exp_l}) THEN 'EXP'
+               ELSE 'OTHER' END
+        WHEN regexp_matches(lower(tok), '{rules.WEIGHT_RE_SQL}') THEN 'WEIGHT'
+        WHEN tok IN ({brands}) THEN 'BRAND'
+        WHEN tok IN ({names}) THEN 'NAME'
+        ELSE 'OTHER'
+      END
+    """
+
+
+def _classified_tokens_cte(keys_sql: str) -> str:
+    return f"""
+WITH transcripts AS ({duckdb_transcripts_sql(keys_sql)}),
+tok0 AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(string_split(text, ' '),
+                               (t, i) -> struct_pack(pos := i - 1, tok := t))) AS u
+  FROM transcripts
+),
+flat AS (
+  SELECT conv_id, turn_idx, CAST(u.pos AS INTEGER) AS pos, u.tok AS tok FROM tok0
+),
+ctx AS (
+  SELECT *,
+         lag(tok) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS prev,
+         CAST(coalesce(sum(length(tok) + 1) OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER)
+           AS span_start
+  FROM flat
+),
+lab AS (
+  SELECT conv_id, turn_idx, pos, span_start,
+         CAST(span_start + length(tok) AS INTEGER) AS span_end,
+         tok AS surface,
+         {_classify_case()} AS mention_type
+  FROM ctx
+)
+"""
+
+
+def mentions_sql(keys_sql: str = "SELECT doc_id AS k FROM documents") -> str:
+    """DuckDB twin of operators/mention_detect over derived transcripts."""
+    return (
+        _classified_tokens_cte(keys_sql)
+        + """
+SELECT conv_id, turn_idx, pos, span_start, span_end, surface, mention_type
+FROM lab WHERE mention_type != 'OTHER'
+"""
+    )
+
+
+def triples_sql(keys_sql: str = "SELECT doc_id AS k FROM documents") -> str:
+    """DuckDB twin of the flagship pipeline (plans/pipeline.py)."""
+    return (
+        _classified_tokens_cte(keys_sql)
+        + """
+SELECT conv_id AS subj, mention_type AS pred,
+       string_agg(surface, ' ' ORDER BY turn_idx, pos) AS obj,
+       conv_id
+FROM lab WHERE mention_type != 'OTHER'
+GROUP BY conv_id, mention_type
+"""
+    )

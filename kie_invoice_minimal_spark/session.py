@@ -1,0 +1,53 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Arrow execution is mandatory (every Python crossing is a pandas/Arrow UDF —
+the north rule forbids per-row Python), AQE is on for runtime re-planning
+(skew joins, coalescing the shrinking edge lists of the connected-components
+loop), and shuffle partitions default to a local-mode-friendly count that
+callers override for cluster runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "kie-kg-engine",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller passes ``None`` with master supplied by spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Arrow: the only JVM<->Python boundary we allow, batched.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # AQE: runtime coalescing + skew-join splitting. The CC loop's edge
+        # list shrinks geometrically; AQE right-sizes each round.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic session timezone so ts-derived values hash stably.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
