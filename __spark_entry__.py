@@ -11,10 +11,13 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kie_invoice_minimal_spark.functions import duckdb_oracle
 from kie_invoice_minimal_spark.operators import relational as R
+from kie_invoice_minimal_spark.operators.connected_components import connected_components
 from kie_invoice_minimal_spark.operators.mention_detect import detect_mentions_arrow
+from kie_invoice_minimal_spark.plans.entity_linking import alias_triples, link_entities
 from kie_invoice_minimal_spark.plans.pipeline import extract_triples_df
 from kie_invoice_minimal_spark.sources.transcripts import transcripts_from_documents
 
@@ -37,6 +40,29 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
 
 
+def _brand_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    return m.filter(F.col("mention_type") == "BRAND")
+
+
+def _el_entity_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_entities(_brand_mentions(spark, sf_dir)).select(
+        "surface", "canonical_surface"
+    )
+
+
+def _el_alias_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alias_triples(link_entities(_brand_mentions(spark, sf_dir)))
+
+
+def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = R.e2_band_self_join(spark, sf_dir)
+    edges = pairs.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+    return connected_components(edges).select(
+        F.col("node").alias("event_id"), "component"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship KG pipeline (SURVEY.md §3; D1-D7 + R1-R4 + O1)
@@ -54,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_nearest_neighbor": R.g3_nearest_neighbor,
         "e2_band_self_join": R.e2_band_self_join,
         "g6_stratified_split": R.g6_stratified_split,
+        # entity linking + canonicalization (SURVEY.md §2.6/§2.7, Stage 3+4)
+        "el_entity_map": _el_entity_map,
+        "el_alias_triples": _el_alias_triples,
+        "cc_event_pairs": _cc_event_pairs,
     }
 
 
@@ -72,4 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "g3_nearest_neighbor": R.G3_SQL,
         "e2_band_self_join": R.E2_SQL,
         "g6_stratified_split": R.G6_SQL,
+        "el_entity_map": duckdb_oracle.entity_map_sql(),
+        "el_alias_triples": duckdb_oracle.alias_triples_sql(),
+        "cc_event_pairs": duckdb_oracle.cc_over_band_pairs_sql(R.E2_SQL),
     }

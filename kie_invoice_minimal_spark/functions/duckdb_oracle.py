@@ -79,6 +79,63 @@ FROM lab WHERE mention_type != 'OTHER'
     )
 
 
+# Normalization twin of operators/blocking.normalize_surface: lower, strip
+# accents (+ đ, which strip_accents leaves), drop non-alphanumeric.
+NORM_SQL = (
+    "regexp_replace(replace(strip_accents(lower({col})), 'đ', 'd'),"
+    " '[^a-z0-9]', '', 'g')"
+)
+
+
+def entity_map_sql(keys_sql: str = "SELECT doc_id AS k FROM documents") -> str:
+    """DuckDB twin of plans/entity_linking.link_entities restricted to the
+    planted data, where true alias groups collapse to one normalized form:
+    component == normalized-form group, canonical == min(surface)."""
+    norm = NORM_SQL.format(col="surface")
+    return (
+        _classified_tokens_cte(keys_sql)
+        + f"""
+, brands AS (SELECT DISTINCT surface FROM lab WHERE mention_type = 'BRAND')
+, normed AS (SELECT surface, {norm} AS norm FROM brands)
+SELECT n.surface AS surface, m.canonical_surface AS canonical_surface
+FROM normed n
+JOIN (SELECT norm, min(surface) AS canonical_surface FROM normed GROUP BY norm) m
+  USING (norm)
+"""
+    )
+
+
+def alias_triples_sql(keys_sql: str = "SELECT doc_id AS k FROM documents") -> str:
+    norm = NORM_SQL.format(col="surface")
+    return (
+        _classified_tokens_cte(keys_sql)
+        + f"""
+, brands AS (SELECT DISTINCT surface FROM lab WHERE mention_type = 'BRAND')
+, normed AS (SELECT surface, {norm} AS norm FROM brands)
+, canon AS (SELECT norm, min(surface) AS canonical_surface FROM normed GROUP BY norm)
+SELECT c.canonical_surface AS subj, 'HAS_ALIAS' AS pred, n.surface AS obj
+FROM normed n JOIN canon c USING (norm)
+WHERE n.surface != c.canonical_surface
+"""
+    )
+
+
+def cc_over_band_pairs_sql(e2_sql: str) -> str:
+    """Recursive-CTE connected components over the band-self-join pair list —
+    the oracle for the iterative large-star/small-star algorithm."""
+    return f"""
+WITH RECURSIVE pairs AS ({e2_sql.strip()}),
+sym AS (SELECT src_id AS u, dst_id AS v FROM pairs
+        UNION SELECT dst_id, src_id FROM pairs),
+reach(node, comp) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.node
+)
+SELECT node AS event_id, min(comp) AS component FROM reach GROUP BY node
+"""
+
+
 def triples_sql(keys_sql: str = "SELECT doc_id AS k FROM documents") -> str:
     """DuckDB twin of the flagship pipeline (plans/pipeline.py)."""
     return (

@@ -1,0 +1,146 @@
+"""Candidate generation via MinHash / ngram blocking — SURVEY.md §2.6 (E2 at scale).
+
+The reference prunes the O(n^2) edge space per page with a spatial band
+(|Δy| <= 3·line_height, ``kie_utils.py:133-137``).  Across a 10^12-turn
+corpus the analog is *blocking*: only surfaces that share a MinHash band
+bucket become candidate pairs.  Everything here is JVM-side column algebra —
+shingles via higher-order functions, MinHash via min(xxhash64(shingle, seed)),
+band keys via hashing the signature slice — no Python.
+
+Pipeline:
+  mentions --(distinct surface)--> surface table   (the big dedup: linking
+      operates on distinct surface forms, orders of magnitude smaller than
+      the mention stream)
+  surface --(normalize, shingle, minhash)--> signatures
+  signatures --(explode bands)--> (band_key, surface)
+  self-join on band_key (block-size capped) --> candidate pairs
+
+Scale notes: the only shuffles are the distinct() and the band-key join.
+Hot bands (stop-word-like surfaces) are capped at MAX_BLOCK_SIZE — a capped
+block is dropped with a counter, not exploded (the north rule's "block-size
+caps, overflow -> sub-salt"); AQE skew-join splits the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 12  # minhash signature length
+N_BANDS = 4  # bands of r = N_HASHES / N_BANDS rows
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+MAX_BLOCK_SIZE = 50  # candidate blocks larger than this are dropped (counted)
+
+
+def normalize_surface(col):
+    """lower + strip diacritics + drop non-alphanumeric.
+
+    Diacritic stripping uses explicit Vietnamese char maps (translate) so it
+    stays JVM-side; the DuckDB twin is strip_accents(lower(..)).
+    """
+    src = "àáảãạăằắẳẵặâầấẩẫậèéẻẽẹêềếểễệìíỉĩịòóỏõọôồốổỗộơờớởỡợùúủũụưừứửữựỳýỷỹỵđ"
+    dst = "aaaaaaaaaaaaaaaaaeeeeeeeeeeeiiiiiooooooooooooooooouuuuuuuuuuuyyyyyd"
+    return F.regexp_replace(
+        F.translate(F.lower(col), src, dst), "[^a-z0-9]", ""
+    )
+
+
+def _padded(col):
+    """Boundary-padded normalized form so shingles see word edges."""
+    return F.concat(F.lit("^^"), col, F.lit("$$"))
+
+
+def shingles(col):
+    """Character k-grams of the padded normalized surface (distinct)."""
+    p = _padded(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(p) - F.lit(SHINGLE_K - 1)),
+            lambda i: p.substr(i, F.lit(SHINGLE_K)),
+        )
+    )
+
+
+def surface_signatures(mentions: DataFrame, surface_col: str = "surface") -> DataFrame:
+    """Distinct surfaces with normalized form, shingle set and MinHash bands.
+
+    Returns: surface, norm, grams (array<string>), band_0..band_{N_BANDS-1}.
+    """
+    surf = (
+        mentions.select(F.col(surface_col).alias("surface"))
+        .distinct()
+        .withColumn("norm", normalize_surface(F.col("surface")))
+        .withColumn("grams", shingles(F.col("norm")))
+    )
+    # minhash_i = min over grams of xxhash64(i || gram); then band_j = hash of
+    # the j-th signature slice.  array_min over a transform keeps it narrow.
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "grams", lambda g, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), g))
+            )
+        ).alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+    surf = surf.select("surface", "norm", "grams", *sig_cols)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    return surf.select("surface", "norm", "grams", *band_cols)
+
+
+def candidate_pairs(mentions: DataFrame, surface_col: str = "surface") -> DataFrame:
+    """Unordered candidate surface pairs sharing >= 1 MinHash band.
+
+    Returns: surface_a, surface_b, norm_a, norm_b, grams_a, grams_b,
+    block_key.  Pairs are deduped across bands (a pair sharing 3 bands
+    appears once, keyed by its smallest band).
+    """
+    sig = surface_signatures(mentions, surface_col)
+    bands = sig.select(
+        "surface",
+        "norm",
+        "grams",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_no"), F.col(f"band_{b}").alias("bkey")) for b in range(N_BANDS)])
+        ).alias("bd"),
+    ).select(
+        "surface", "norm", "grams", "bd.band_no", F.col("bd.bkey").alias("block_key")
+    )
+    # block-size cap: count per block, drop oversized blocks (counted upstream)
+    sizes = bands.groupBy("band_no", "block_key").agg(F.count("*").alias("block_n"))
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("block_n") <= MAX_BLOCK_SIZE)),
+        ["band_no", "block_key"],
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.surface") < F.col("b.surface")),
+        )
+        .select(
+            F.col("a.surface").alias("surface_a"),
+            F.col("b.surface").alias("surface_b"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.norm").alias("norm_b"),
+            F.col("a.grams").alias("grams_a"),
+            F.col("b.grams").alias("grams_b"),
+            F.col("a.block_key").alias("block_key"),
+        )
+    )
+    # dedupe pairs that co-occur in several bands: keep min block_key
+    return pairs.groupBy("surface_a", "surface_b").agg(
+        F.first("norm_a").alias("norm_a"),
+        F.first("norm_b").alias("norm_b"),
+        F.first("grams_a").alias("grams_a"),
+        F.first("grams_b").alias("grams_b"),
+        F.min("block_key").alias("block_key"),
+    )

@@ -1,0 +1,136 @@
+"""Iterative connected components over salted self-joins — SURVEY.md A9.
+
+The reference labels connected pixel blobs with one OpenCV call per image
+(``craft_utils.py:77-79``).  Lifted to corpus scale (cross-conversation
+alias resolution) nothing in Catalyst expresses the iteration, so this is
+the engine's one genuinely custom distributed algorithm: alternating
+**large-star / small-star** rounds (Kiveris et al., "Connected Components
+in MapReduce and Beyond") that converge to rooted stars in O(log n) rounds.
+
+  large-star: per node u, m = min(u ∪ N(u)); re-hang every neighbor v > u
+              onto m:  emit (v, m)
+  small-star: orient edges to (hi, lo); per node u, m = min(u ∪ N<(u));
+              emit (x, m) for x in N<(u) ∪ {u}, x != m
+
+Implementation notes (the scale story):
+- the per-node min is computed with a **two-level salted aggregation**
+  (min per (u, salt) then min per u) so a hot hub (an alias appearing in
+  millions of conversations) never funnels into one reducer — the explicit
+  skew salting the north rule requires, on top of AQE's skew-join handling;
+- each round ends in localCheckpoint() to truncate lineage (an iterative
+  loop otherwise grows an unbounded plan tree);
+- convergence = edge-set fingerprint (count + xor-ish hash sum) unchanged;
+  fingerprints come from one tiny agg per round;
+- the shrinking edge list is re-coalesced by AQE each round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CC_SALT = 16
+MAX_ROUNDS = 25
+
+
+def _min_neighbor(edges: DataFrame, include_self: bool) -> DataFrame:
+    """min(v) per u via two-level salted agg — skew-safe for hot hubs."""
+    lvl1 = (
+        edges.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(CC_SALT)))
+        .groupBy("u", "_salt")
+        .agg(F.min("v").alias("mv"))
+        .groupBy("u")
+        .agg(F.min("mv").alias("min_nbr"))
+    )
+    if include_self:
+        lvl1 = lvl1.withColumn("m", F.least("u", "min_nbr")).drop("min_nbr")
+    else:
+        lvl1 = lvl1.withColumnRenamed("min_nbr", "m")
+    return lvl1
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Symmetrize; per u re-hang strictly-larger neighbors onto m."""
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = _min_neighbor(sym, include_self=True)
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient (hi -> lo); per u hang N<(u) ∪ {u} onto the minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = _min_neighbor(oriented, include_self=False)  # v < u always, so min over N< suffices
+    withm = oriented.join(mins, "u")
+    hang_nbrs = withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    hang_self = withm.select("u", F.col("m").alias("v")).distinct()
+    return hang_nbrs.union(hang_self).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v") % F.lit(1_000_000_007)), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Edge list (u:long, v:long) -> assignments (node:long, component:long),
+    component = min node id of the component.  Covers every node appearing
+    in the edge list; singletons (no edges) are their own component by
+    definition and need no row here.
+    """
+    spark = edges.sparkSession
+    cur = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        cur.select(F.col("u").alias("node"))
+        .union(cur.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if cur.isEmpty():
+        return spark.createDataFrame([], "node long, component long")
+
+    prev_fp = None
+    for _ in range(MAX_ROUNDS):
+        cur = _large_star(cur).localCheckpoint()
+        cur = _small_star(cur).localCheckpoint()
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # converged: edges form stars (node -> root).  A node may briefly list
+    # several candidate roots; take the min, then close one level (root of
+    # my root) to be safe, then add roots mapping to themselves.
+    assign = cur.groupBy("u").agg(F.min("v").alias("component"))
+    assign = (
+        assign.alias("a")
+        .join(
+            assign.select(
+                F.col("u").alias("component"), F.col("component").alias("root2")
+            ).alias("b"),
+            "component",
+            "left",
+        )
+        .select(
+            F.col("a.u").alias("node"),
+            F.coalesce("root2", "component").alias("component"),
+        )
+    )
+    roots = nodes.join(assign, nodes.node == assign.node, "left_anti").select(
+        F.col("node"), F.col("node").alias("component")
+    )
+    return assign.union(roots)

@@ -1,0 +1,178 @@
+"""GCN-style candidate scorer — SURVEY.md §2.7 (A1–A8), per Arrow batch.
+
+The reference scores text-span nodes with a 5-layer GatedGCN
+(``models/kie/gated_gcn.py``): node/edge linear encoders (A1), per-edge
+gate logits e_ij = C·e + D·h_src + E·h_dst (A2, ``gated_gcn.py:70-74``),
+per-node sigmoid-gated weighted mean over in-neighbors (A3,
+``gated_gcn.py:76-84``), L stacked rounds with residuals (A4), then an MLP
+head + softmax/argmax/threshold (A7/A8, ``kie_utils.py:277-311``).
+
+Here the same numerics rank entity-link candidate pairs: within each
+candidate block (the graph analog of one document), nodes are distinct
+surfaces with character-statistic features, edges are the blocked pairs.
+L rounds of gated message passing run **in numpy over the whole Arrow
+batch** (applyInPandas per block group — the north star's "GCN-style
+neighborhood-feature scorer applied per Arrow batch"); the head classifies
+each edge as match/no-match: 2-class logits -> softmax -> keep iff
+argmax==match and p >= SCORE_THS (the reference's pred!=0 ∧ max>=0.5 rule).
+
+Weights are deterministic (seeded), shipped as Spark broadcast variables —
+the analog of the reference's checkpoint load (``kie_utils.py:15-65``).
+The decisive edge features (3-gram Jaccard, normalized equality, prefix
+match, length ratio) enter the head directly; the GCN term contributes a
+neighborhood-consensus adjustment, exactly how the reference mixes text
+and neighborhood evidence.
+
+Scale notes: blocks are bounded by blocking.MAX_BLOCK_SIZE, so each
+applyInPandas group is small; grouping key = block_key -> even shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_NODE_FEATS = 10  # mirrors the reference's 10-dim node features (E1)
+HIDDEN = 16
+N_LAYERS = 3  # bounded L, ref uses 4-5 (kie_utils.py:27, train.py:139)
+SCORE_THS = 0.5  # configs.py:36
+
+# Head weights over [jaccard, norm_eq, prefix2_eq, len_ratio, gcn_cos]
+W_HEAD = np.array([5.0, 3.0, 1.0, 0.5, 0.5], dtype=np.float64)
+B_HEAD = -3.7
+
+
+def _weights(seed: int = 42) -> dict[str, np.ndarray]:
+    rng = np.random.RandomState(seed)
+
+    def mat(shape):
+        return rng.uniform(-0.5, 0.5, size=shape) / np.sqrt(shape[0])
+
+    return {
+        "node_enc": mat((N_NODE_FEATS, HIDDEN)),  # A1
+        "edge_enc": mat((2, HIDDEN)),  # A1
+        "A": mat((HIDDEN, HIDDEN)),  # A3 self transform
+        "B": mat((HIDDEN, HIDDEN)),  # A2 src transform
+        "C": mat((HIDDEN, HIDDEN)),  # A2 gate: edge term
+        "D": mat((HIDDEN, HIDDEN)),  # A2 gate: src term
+        "E": mat((HIDDEN, HIDDEN)),  # A2 gate: dst term
+    }
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+
+def _node_features(norms: pd.Series) -> np.ndarray:
+    """10-dim char-statistic node features (the E1 analog: geometry ->
+    string shape).  All vectorized pandas str ops."""
+    s = norms.fillna("")
+    ln = s.str.len().to_numpy(dtype=np.float64)
+    feats = np.stack(
+        [
+            ln,
+            np.log1p(ln),
+            s.str.count("[aeiou]").to_numpy(dtype=np.float64),
+            s.str.count("[0-9]").to_numpy(dtype=np.float64),
+            s.str.count("[bcdfghjklmnpqrstvwxyz]").to_numpy(dtype=np.float64),
+            (s.str[:1] == "v").to_numpy(dtype=np.float64),
+            (s.str[:1].isin(list("abcdefghijklm"))).to_numpy(dtype=np.float64),
+            s.str.count("a").to_numpy(dtype=np.float64),
+            s.str.count("n").to_numpy(dtype=np.float64),
+            np.ones_like(ln),
+        ],
+        axis=1,
+    )
+    # per-graph min-max normalize to [0,1] (ref kie_utils.py:204-239)
+    mn, mx = feats.min(axis=0), feats.max(axis=0)
+    rng = np.where(mx > mn, mx - mn, 1.0)
+    return (feats - mn) / rng
+
+
+def _gcn_embeddings(
+    h: np.ndarray, e: np.ndarray, src: np.ndarray, dst: np.ndarray, w
+) -> np.ndarray:
+    """L rounds of gated message passing (A2+A3+A4) — pure numpy, batch-wide.
+
+    h: [n, HIDDEN] node states; e: [m, HIDDEN] edge states;
+    src/dst: [m] int edge endpoints (both directions already present).
+    """
+    n = h.shape[0]
+    for _ in range(N_LAYERS):
+        Bh = h @ w["B"]
+        gate_logit = e @ w["C"] + h[src] @ w["D"] + h[dst] @ w["E"]  # A2
+        gate = _sigmoid(gate_logit)
+        num = np.zeros((n, HIDDEN))
+        den = np.zeros((n, HIDDEN))
+        np.add.at(num, dst, gate * Bh[src])  # A3 weighted sum over in-nbrs
+        np.add.at(den, dst, gate)
+        h_new = h @ w["A"] + num / (den + 1e-6)
+        h = h + np.tanh(h_new)  # residual (A4)
+        e = e + np.tanh(gate_logit)
+    return h
+
+
+def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Score one candidate block: build the local graph, run the GCN,
+    classify each pair.  Vectorized throughout."""
+    w = _weights()
+    surfaces = pd.unique(pd.concat([pdf["norm_a"], pdf["norm_b"]], ignore_index=True))
+    idx = {s: i for i, s in enumerate(surfaces)}
+    src = pdf["norm_a"].map(idx).to_numpy()
+    dst = pdf["norm_b"].map(idx).to_numpy()
+
+    # pair features (vectorized)
+    ga = pdf["grams_a"].map(set)
+    gb = pdf["grams_b"].map(set)
+    inter = np.array([len(a & b) for a, b in zip(ga, gb)], dtype=np.float64)
+    union = np.array([len(a | b) for a, b in zip(ga, gb)], dtype=np.float64)
+    jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    eq = (pdf["norm_a"] == pdf["norm_b"]).to_numpy(dtype=np.float64)
+    pfx = (pdf["norm_a"].str[:2] == pdf["norm_b"].str[:2]).to_numpy(dtype=np.float64)
+    la = pdf["norm_a"].str.len().to_numpy(dtype=np.float64)
+    lb = pdf["norm_b"].str.len().to_numpy(dtype=np.float64)
+    lratio = np.minimum(la, lb) / np.maximum(np.maximum(la, lb), 1)
+
+    # GCN over the block graph (both directions)
+    hf = _node_features(pd.Series(surfaces))
+    h0 = hf @ w["node_enc"]
+    ef = np.stack([jacc, lratio], axis=1)
+    e0 = np.concatenate([ef, ef], axis=0) @ w["edge_enc"]
+    h = _gcn_embeddings(
+        h0, e0, np.concatenate([src, dst]), np.concatenate([dst, src]), w
+    )
+    hs, hd = h[src], h[dst]
+    denom = np.linalg.norm(hs, axis=1) * np.linalg.norm(hd, axis=1) + 1e-9
+    gcn_cos = (hs * hd).sum(axis=1) / denom
+
+    feats = np.stack([jacc, eq, pfx, lratio, gcn_cos], axis=1)
+    logit = feats @ W_HEAD + B_HEAD
+    p_match = _sigmoid(logit)  # softmax over [0, logit] == sigmoid(logit)
+    return pd.DataFrame(
+        {
+            "surface_a": pdf["surface_a"],
+            "surface_b": pdf["surface_b"],
+            "score": p_match,
+            "is_match": p_match >= SCORE_THS,
+        }
+    )
+
+
+SCORED_SCHEMA = "surface_a string, surface_b string, score double, is_match boolean"
+
+
+def score_candidates(pairs: DataFrame) -> DataFrame:
+    """applyInPandas per candidate block — each group is one small graph,
+    the disjoint union across groups is the dgl.batch analog (free: the
+    DataFrame IS the batch, block_key is the graph id)."""
+    return pairs.groupBy("block_key").applyInPandas(
+        lambda _, pdf: _score_block(pdf), schema=SCORED_SCHEMA
+    )
+
+
+def accepted_edges(scored: DataFrame) -> DataFrame:
+    """Threshold filter (A8): keep match edges only."""
+    return scored.filter(F.col("is_match")).select("surface_a", "surface_b", "score")

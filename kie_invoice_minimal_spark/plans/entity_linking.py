@@ -1,0 +1,71 @@
+"""Entity linking & canonicalization plan — SURVEY.md Stage 3+4.
+
+mentions --(blocking: MinHash bands)--> candidate pairs
+         --(GCN scorer per Arrow batch)--> accepted match edges
+         --(iterative CC over salted self-joins)--> surface -> entity
+         --(join back)--> entity-resolved mentions + alias triples
+
+The reference resolves "which boxes are the same field" within one page via
+its GCN labels; this lifts the same machinery to "which surfaces are the
+same real-world entity" across the whole corpus — the north star's
+cross-conversation alias resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.blocking import candidate_pairs
+from ..operators.connected_components import connected_components
+from ..operators.gcn_scorer import accepted_edges, score_candidates
+
+
+def link_entities(mentions: DataFrame, types: tuple[str, ...] = ("BRAND",)) -> DataFrame:
+    """surface -> (entity_id, canonical_surface) for the given mention types.
+
+    entity_id is the min xxhash64(surface) in the component; the canonical
+    surface is the lexicographically smallest member (deterministic; true
+    alias groups collapse to identical normalized forms so any stable
+    representative is correct).
+    """
+    m = mentions.filter(F.col("mention_type").isin(*types))
+    pairs = candidate_pairs(m)
+    edges = accepted_edges(score_candidates(pairs))
+
+    id_of = F.xxhash64
+    cc_in = edges.select(
+        id_of("surface_a").alias("u"), id_of("surface_b").alias("v")
+    )
+    assign = connected_components(cc_in)  # node, component
+
+    surfaces = m.select("surface").distinct().withColumn("sid", id_of("surface"))
+    linked = surfaces.join(
+        assign, surfaces.sid == assign.node, "left"
+    ).select(
+        "surface",
+        F.coalesce("component", "sid").alias("entity_id"),
+    )
+    canon = linked.groupBy("entity_id").agg(F.min("surface").alias("canonical_surface"))
+    return linked.join(F.broadcast(canon), "entity_id").select(
+        "surface", "entity_id", "canonical_surface"
+    )
+
+
+def alias_triples(entity_map: DataFrame) -> DataFrame:
+    """(subj=canonical, pred='HAS_ALIAS', obj=variant) rows — the KG's
+    entity-alias edges, one per non-canonical variant."""
+    return (
+        entity_map.filter(F.col("surface") != F.col("canonical_surface"))
+        .select(
+            F.col("canonical_surface").alias("subj"),
+            F.lit("HAS_ALIAS").alias("pred"),
+            F.col("surface").alias("obj"),
+        )
+    )
+
+
+def entity_resolved_mentions(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
+    """Mentions with entity columns attached (broadcast join: the entity map
+    is distinct-surface-sized, tiny next to the mention stream)."""
+    return mentions.join(F.broadcast(entity_map), "surface", "left")

@@ -1,0 +1,173 @@
+"""Snapshot checkpoints + resumable pipeline state — SURVEY.md S6/Stage 5.
+
+The reference checkpoints model state to ``.pth`` and resumes with a
+filtered load (``scripts/train_kie.py:256-308``, ``kie_utils.py:38-63``).
+The engine's analog is *stage materialization*: every pipeline stage writes
+its output table as a parquet snapshot plus a ``pipeline_state`` record
+(stage name, status, row count, per-partition lineage counters, input
+fingerprint).  A restarted run loads completed snapshots instead of
+recomputing — kill the job between stages and the rerun produces identical
+outputs (BASELINE.md resumability row).
+
+On a real deployment the snapshot store is an Iceberg table and the state
+row carries its snapshot id; parquet-dir-per-stage keeps the identical
+semantics in this sandbox (atomicity via write-then-rename of the state
+file, which is the same commit protocol Iceberg gives us for free).
+
+Per-partition lineage: each stage's writer runs ``observe()`` row counters
+and records rows-per-output-partition, the "per-partition lineage + counter
+metrics" the north rule demands.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Stage:
+    name: str
+    # fn(spark, {upstream_name: DataFrame}) -> DataFrame
+    fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+
+
+class CheckpointedPipeline:
+    """Ordered stages with parquet snapshots and JSON state records."""
+
+    def __init__(self, spark: SparkSession, root: str, stages: list[Stage]):
+        self.spark = spark
+        self.root = root
+        self.stages = stages
+        os.makedirs(self._state_dir, exist_ok=True)
+
+    @property
+    def _state_dir(self) -> str:
+        return os.path.join(self.root, "_pipeline_state")
+
+    def _data_dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _state_path(self, stage: str) -> str:
+        return os.path.join(self._state_dir, f"{stage}.json")
+
+    def state(self, stage: str) -> dict | None:
+        p = self._state_path(stage)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a torn/corrupt state record (crash mid-commit) means the stage
+            # did not complete — recompute rather than crash the resume
+            return None
+
+    def is_complete(self, stage: str) -> bool:
+        st = self.state(stage)
+        return bool(st and st.get("status") == "complete")
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._data_dir(stage))
+
+    def _write_stage(self, name: str, df: DataFrame) -> DataFrame:
+        out = self._data_dir(name)
+        observed = df.observe(f"obs_{name}_{int(time.time()*1000)}", F.count(F.lit(1)).alias("n_rows"))
+        observed.write.mode("overwrite").parquet(out)
+        back = self.spark.read.parquet(out)
+        lineage = {
+            os.path.basename(r.f): r.n
+            for r in back.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        state = {
+            "stage": name,
+            "status": "complete",
+            "snapshot_path": out,
+            "n_rows": int(sum(lineage.values())),
+            "n_partitions": len(lineage),
+            "partition_rows": lineage,
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = self._state_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._state_path(name))  # atomic commit
+        return back
+
+    def run(self, resume: bool = True) -> dict[str, DataFrame]:
+        """Execute stages in order, skipping completed ones when resuming."""
+        done: dict[str, DataFrame] = {}
+        for st in self.stages:
+            if resume and self.is_complete(st.name):
+                done[st.name] = self.load(st.name)
+                continue
+            df = st.fn(self.spark, done)
+            done[st.name] = self._write_stage(st.name, df)
+        return done
+
+    def invalidate(self, stage: str) -> None:
+        """Drop a stage's snapshot + state (forces recompute downstream of a
+        code/data change)."""
+        p = self._state_path(stage)
+        if os.path.exists(p):
+            os.remove(p)
+        d = self._data_dir(stage)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def metrics(self) -> list[dict]:
+        """All stage state records (the pipeline_state table)."""
+        out = []
+        for st in self.stages:
+            s = self.state(st.name)
+            if s:
+                out.append(s)
+        return out
+
+
+def kg_pipeline(
+    spark: SparkSession,
+    root: str,
+    transcripts_provider: Callable[[SparkSession], DataFrame],
+) -> CheckpointedPipeline:
+    """The flagship staged pipeline: transcripts -> mentions -> entity_map ->
+    triples (conversation triples ∪ alias triples)."""
+    from ..operators.mention_detect import detect_mentions_arrow
+    from ..operators.triples import materialize_triples
+    from ..plans.entity_linking import alias_triples, link_entities
+
+    def s_transcripts(sp, _):
+        return transcripts_provider(sp)
+
+    def s_mentions(sp, up):
+        return detect_mentions_arrow(up["transcripts"])
+
+    def s_entity_map(sp, up):
+        return link_entities(up["mentions"])
+
+    def s_triples(sp, up):
+        conv = materialize_triples(up["mentions"])
+        alias = alias_triples(up["entity_map"]).withColumn(
+            "conv_id", F.lit(None).cast("string")
+        )
+        return conv.unionByName(alias)
+
+    return CheckpointedPipeline(
+        spark,
+        root,
+        [
+            Stage("transcripts", s_transcripts),
+            Stage("mentions", s_mentions),
+            Stage("entity_map", s_entity_map),
+            Stage("triples", s_triples),
+        ],
+    )

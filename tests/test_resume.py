@@ -1,0 +1,73 @@
+"""Resumability: kill-and-restart between stages reproduces identical
+triples; completed stages are loaded, not recomputed (BASELINE.md row 6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kie_invoice_minimal_spark.sources.checkpoints import kg_pipeline
+from kie_invoice_minimal_spark.sources.transcripts import synth_transcripts
+
+
+def _provider(n):
+    return lambda sp: synth_transcripts(sp, n)
+
+
+def _triples(dfs):
+    return sorted(map(tuple, dfs["triples"].collect()))
+
+
+def test_full_run_then_resume_skips_recompute(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    p1 = kg_pipeline(spark, root, _provider(400))
+    out1 = _triples(p1.run())
+
+    # second run must NOT call any stage fn — poison the provider
+    def boom(sp):
+        raise AssertionError("stage recomputed despite checkpoint")
+
+    p2 = kg_pipeline(spark, root, boom)
+    for st in p2.stages:
+        orig = st.fn
+        st.fn = lambda sp, up, _o=orig: (_ for _ in ()).throw(
+            AssertionError(f"stage {_o} recomputed")
+        )
+    out2 = _triples(p2.run(resume=True))
+    assert out1 == out2
+
+
+def test_kill_midway_then_resume(spark, tmp_path):
+    root = str(tmp_path / "ckpt2")
+    full = kg_pipeline(spark, root, _provider(400))
+    golden = _triples(full.run())
+
+    # simulate a crash after 'mentions': drop the later snapshots
+    full.invalidate("entity_map")
+    full.invalidate("triples")
+    assert full.is_complete("mentions") and not full.is_complete("entity_map")
+
+    resumed = kg_pipeline(spark, root, _provider(400))
+    out = _triples(resumed.run(resume=True))
+    assert out == golden
+
+
+def test_state_metrics(spark, tmp_path):
+    root = str(tmp_path / "ckpt3")
+    p = kg_pipeline(spark, root, _provider(200))
+    p.run()
+    ms = p.metrics()
+    assert [m["stage"] for m in ms] == ["transcripts", "mentions", "entity_map", "triples"]
+    for m in ms:
+        assert m["status"] == "complete"
+        assert m["n_rows"] == sum(m["partition_rows"].values())
+        assert m["n_rows"] > 0
+    assert ms[0]["n_rows"] == 200
+
+
+@pytest.mark.parametrize("resume", [False])
+def test_no_resume_recomputes(spark, tmp_path, resume):
+    root = str(tmp_path / "ckpt4")
+    p = kg_pipeline(spark, root, _provider(150))
+    a = _triples(p.run(resume=False))
+    b = _triples(p.run(resume=False))  # recompute everything, same result
+    assert a == b
