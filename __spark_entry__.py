@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kie_invoice_minimal_spark.functions import duckdb_oracle
+from kie_invoice_minimal_spark.operators import dedup as DD
+from kie_invoice_minimal_spark.operators import multimodal as MM
 from kie_invoice_minimal_spark.operators import relational as R
+from kie_invoice_minimal_spark.operators import similarity as SS
+from kie_invoice_minimal_spark.operators import text_analysis as TA
 from kie_invoice_minimal_spark.operators.connected_components import connected_components
 from kie_invoice_minimal_spark.operators.mention_detect import detect_mentions_arrow
 from kie_invoice_minimal_spark.plans.entity_linking import alias_triples, link_entities
@@ -84,6 +88,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_entity_map": _el_entity_map,
         "el_alias_triples": _el_alias_triples,
         "cc_event_pairs": _cc_event_pairs,
+        # text analysis (training-data pipeline)
+        "ta_token_stats": TA.ta_token_stats,
+        "ta_quality_score": TA.ta_quality_score,
+        "ta_lang_id": TA.ta_lang_id,
+        "ta_fingerprint": TA.ta_fingerprint,
+        # deduplication suite
+        "dd_exact": DD.dd_exact,
+        "dd_minhash_signatures": DD.dd_minhash_signatures,
+        "dd_minhash_lsh_pairs": DD.dd_minhash_lsh_pairs,
+        "dd_simhash": DD.dd_simhash,
+        "dd_ngram_jaccard": DD.dd_ngram_jaccard,
+        "dd_embedding_cosine": DD.dd_embedding_cosine,
+        # similarity search
+        "ss_topk_bruteforce": SS.ss_topk_bruteforce,
+        "ss_lsh_buckets": SS.ss_lsh_buckets,
+        "ss_lsh_ann": SS.ss_lsh_ann,
+        # multimodal plumbing (stubbed decode, real Arrow pipeline)
+        "mm_decode_metadata": MM.mm_decode_metadata,
+        "mm_frame_sample": MM.mm_frame_sample,
     }
 
 
@@ -105,4 +128,19 @@ def oracle_sql() -> dict[str, str]:
         "el_entity_map": duckdb_oracle.entity_map_sql(),
         "el_alias_triples": duckdb_oracle.alias_triples_sql(),
         "cc_event_pairs": duckdb_oracle.cc_over_band_pairs_sql(R.E2_SQL),
+        "ta_token_stats": TA.TA_TOKEN_STATS_SQL,
+        "ta_quality_score": TA.TA_QUALITY_SQL,
+        "ta_lang_id": TA.TA_LANG_ID_SQL,
+        "ta_fingerprint": TA.TA_FINGERPRINT_SQL,
+        "dd_exact": DD.DD_EXACT_SQL,
+        "dd_minhash_signatures": DD.DD_MINHASH_SIG_SQL,
+        "dd_minhash_lsh_pairs": DD.DD_MINHASH_LSH_SQL,
+        "dd_simhash": DD.DD_SIMHASH_SQL,
+        "dd_ngram_jaccard": DD.DD_NGRAM_JACCARD_SQL,
+        "dd_embedding_cosine": DD.DD_EMBEDDING_COSINE_SQL,
+        "ss_topk_bruteforce": SS.SS_TOPK_SQL,
+        "ss_lsh_buckets": SS.SS_LSH_BUCKETS_SQL,
+        "ss_lsh_ann": SS.SS_LSH_ANN_SQL,
+        "mm_decode_metadata": MM.MM_DECODE_SQL,
+        "mm_frame_sample": MM.MM_FRAME_SAMPLE_SQL,
     }

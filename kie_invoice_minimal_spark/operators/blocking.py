@@ -75,12 +75,14 @@ def surface_signatures(mentions: DataFrame, surface_col: str = "surface") -> Dat
     )
     # minhash_i = min over grams of xxhash64(i || gram); then band_j = hash of
     # the j-th signature slice.  array_min over a transform keeps it narrow.
+    # NB: single-arg lambdas only — a two-arg lambda makes transform() bind
+    # the array index to the second parameter.
+    def _mh(i: int):
+        prefix = f"{i}|"
+        return lambda g: F.xxhash64(F.concat(F.lit(prefix), g))
+
     sig_cols = [
-        F.array_min(
-            F.transform(
-                "grams", lambda g, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), g))
-            )
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform("grams", _mh(i))).alias(f"mh_{i}")
         for i in range(N_HASHES)
     ]
     surf = surf.select("surface", "norm", "grams", *sig_cols)

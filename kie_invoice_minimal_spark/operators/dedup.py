@@ -1,0 +1,323 @@
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+The corpus-dedup stages of a 100 TB training-data pipeline, each as a pure
+Spark plan with a DuckDB twin.  The portable-hash convention (md5 hex ->
+bigint, text_analysis.mdhash) makes even the MinHash/SimHash signatures
+oracle-checkable — both engines compute identical signatures.
+
+Scale notes:
+- exact dedup: one shuffle on the content hash (never on the text itself);
+- MinHash LSH: signatures are narrow maps; the only join is the band-bucket
+  self-join — same shape as operators/blocking.py, block caps + AQE skew;
+- n-gram Jaccard runs on *blocked* pairs (lang + length band), never all
+  pairs;
+- embedding-cosine blocks on a coarse quantization (here: label) before the
+  pairwise scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .text_analysis import MDHASH_SQL, mdhash_spark
+
+MINHASH_K = 8  # signature length
+MINHASH_BANDS = 4  # bands of 2 rows
+SIMHASH_BITS = 16
+JACCARD_THS = 0.5
+COSINE_THS = 0.4  # synthetic embeddings are near-orthogonal; 0.4 marks the planted near-pairs
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content, keeper = min
+    doc_id.  The shuffle key is the 60-bit hash, not the document text."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", mdhash_spark(F.col("text")).alias("text_fp"))
+        .groupBy("text_fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+DD_EXACT_SQL = f"""
+SELECT {MDHASH_SQL('text')} AS text_fp,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- MinHash signatures + LSH candidates ----------------------------------------
+
+def _tok_shingles(col):
+    toks = F.split(F.lower(col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+
+
+_TOK_SHINGLES_SQL = """
+list_distinct(list_transform(
+  range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+  i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' ')
+))
+"""
+
+
+def _hash_fn(i: int):
+    """The i-th MinHash function as a single-arg lambda (a two-arg lambda
+    would make transform() bind the array index to the second parameter)."""
+    prefix = f"{i}|"
+    return lambda g: mdhash_spark(F.concat(F.lit(prefix), g))
+
+
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature over token 3-gram shingles (md5-portable)."""
+    d = _docs(spark, sf_dir).withColumn("sh", _tok_shingles(F.col("text")))
+    sig = [
+        F.array_min(F.transform("sh", _hash_fn(i))).alias(f"mh_{i}")
+        for i in range(MINHASH_K)
+    ]
+    return d.select("doc_id", *sig)
+
+
+def _minhash_sig_sql() -> str:
+    sig = ",\n       ".join(
+        "list_min(list_transform(sh, g -> "
+        + MDHASH_SQL(f"concat('{i}|', g)")
+        + f")) AS mh_{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH sh_t AS (SELECT doc_id, {_TOK_SHINGLES_SQL} AS sh FROM documents)
+SELECT doc_id,
+       {sig}
+FROM sh_t
+"""
+
+
+DD_MINHASH_SIG_SQL = _minhash_sig_sql()
+
+
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing >= 1 MinHash band bucket."""
+    sig = dd_minhash_signatures(spark, sf_dir)
+    r = MINHASH_K // MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        mdhash_spark(
+                            F.concat_ws(
+                                ",", *[F.col(f"mh_{j}").cast("string") for j in range(b * r, (b + 1) * r)]
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_no", "bd.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    r = MINHASH_K // MINHASH_BANDS
+    band_structs = ", ".join(
+        "struct_pack(band_no := {b}, bkey := {h})".format(
+            b=b,
+            h=MDHASH_SQL(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(mh_{j} AS VARCHAR)" for j in range(b * r, (b + 1) * r))
+                + ")"
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH sigs AS ({DD_MINHASH_SIG_SQL.strip()}),
+bands AS (
+  SELECT doc_id, unnest([{band_structs}]) AS bd FROM sigs
+),
+flat AS (SELECT doc_id, bd.band_no AS band_no, bd.bkey AS bkey FROM bands)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM flat a JOIN flat b
+  ON a.band_no = b.band_no AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+DD_MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over tokens: per bit, sign of the sum of ±1 votes from
+    each distinct token's hash bit."""
+    d = _docs(spark, sf_dir).withColumn(
+        "toks", F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    )
+    th = d.withColumn(
+        "hs", F.transform("toks", lambda t: mdhash_spark(t))
+    )
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1)).cast("long")
+
+    bit_cols = []
+    for i in range(SIMHASH_BITS):
+        votes = F.aggregate("hs", F.lit(0).cast("long"), _vote(i))
+        bit_cols.append(
+            F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return th.select("doc_id", total.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    tok_hash = MDHASH_SQL("t")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t1 AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(lower(text), ' ')),
+                        t -> {tok_hash}) AS hs
+  FROM documents
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM t1
+"""
+
+
+DD_SIMHASH_SQL = _simhash_sql()
+
+
+# --- n-gram Jaccard near-dup -------------------------------------------------------
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise token-3-gram Jaccard: block on (lang, token-count
+    band) so the pair space is bounded, then exact set similarity."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        (F.floor(F.size(F.split(F.col("text"), " ")) / 20)).alias("len_band"),
+        _tok_shingles(F.col("text")).alias("sh"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_band") == F.col("b.len_band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_THS)
+
+
+DD_NGRAM_JACCARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(floor(len(string_split(text, ' ')) / 20) AS BIGINT) AS len_band,
+         {_TOK_SHINGLES_SQL} AS sh
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      >= {JACCARD_THS}
+"""
+
+
+# --- embedding-cosine near-dup -------------------------------------------------------
+
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup vectors: block on label (coarse quantization), exact cosine
+    within block, threshold.  Dot/norm as sequential double folds so both
+    engines sum in the same order."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda s, x: s + x * x))
+    cos = F.round(dot / (na * nb), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THS)
+    )
+
+
+DD_EMBEDDING_COSINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {COSINE_THS}
+"""

@@ -1,0 +1,178 @@
+"""Similarity search over the ``embeddings`` table — brute-force cosine
+top-k (the exactness baseline) and a random-hyperplane LSH-bucketed ANN
+variant (the scale path).
+
+Scale notes: brute-force is query-set x corpus — fine when the query set is
+small and broadcast; the LSH variant buckets the corpus once (narrow map)
+and only scans within buckets, turning top-k into an equi-join.  The
+hyperplanes are deterministic ±1 literals generated in Python and embedded
+in BOTH the Spark plan and the DuckDB twin, so signatures agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOP_K = 10
+QUERY_MOD = 100  # vec_id % QUERY_MOD == 0 -> query vector
+N_PLANES = 8
+DIM = 64
+
+# deterministic ±1 hyperplanes (seed 42), shared by both dialects as literals
+_rng = np.random.RandomState(42)
+HYPERPLANES: list[list[int]] = (
+    (_rng.randint(0, 2, size=(N_PLANES, DIM)) * 2 - 1).tolist()
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _cos(av, bv):
+    dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda s, x: s + x * x))
+    return F.round(dot / (na * nb), 6)
+
+
+def ss_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors for each query vector: broadcast the (small)
+    query set against the corpus, rank with a per-query window.  Ordering is
+    on the ROUNDED cosine + neighbor id so ranks are engine-independent."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.pmod("vec_id", F.lit(QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = F.broadcast(q).join(e, F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+SS_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.qv, e.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cosine
+  FROM q JOIN e ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _bucket_expr_spark():
+    terms = []
+    for p, plane in enumerate(HYPERPLANES):
+        coeffs = F.array(*[F.lit(float(c)) for c in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        terms.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("int")
+
+
+def ss_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (sign-bit signature)."""
+    return _emb(spark, sf_dir).select(
+        "vec_id", _bucket_expr_spark().alias("bucket")
+    )
+
+
+def _bucket_sql() -> str:
+    bits = []
+    for p, plane in enumerate(HYPERPLANES):
+        lits = ", ".join(f"{float(c)}" for c in plane)
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(v, [{lits}]),"
+            f" z -> z[1] * z[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+SS_LSH_BUCKETS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id, CAST({_bucket_sql()} AS INTEGER) AS bucket FROM e
+"""
+
+
+def ss_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: exact cosine restricted to same-bucket candidates —
+    the scan is an equi-join on bucket instead of a full cross product."""
+    e = _emb(spark, sf_dir)
+    withb = e.withColumn("bucket", _bucket_expr_spark())
+    q = withb.filter(F.pmod("vec_id", F.lit(QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cand = F.broadcast(q).join(
+        withb, ["bucket"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+SS_LSH_ANN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+withb AS (SELECT vec_id, v, CAST({_bucket_sql()} AS INTEGER) AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM withb
+      WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, w.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.qv, w.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(w.v, x -> x * x)))), 6) AS cosine
+  FROM q JOIN withb w ON w.bucket = q.bucket AND w.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster usage (the north rule's deployment shape):
+
+    zip -r kie_kg.zip kie_invoice_minimal_spark
+    spark-submit --py-files kie_kg.zip scripts/run_pipeline.py \
+        --input  /data/transcripts_parquet \
+        --output /data/kg_out \
+        [--engine arrow|native] [--link-entities]
+
+Sandbox usage (no cluster): --synth N generates N deterministic turns
+instead of reading --input; --master local[K] pins parallelism.
+
+Prints one JSON line with wall time, turns/sec and stage metrics — the
+scaling harness (scripts/scaling_bench.py) invokes this at two parallelism
+levels and derives the efficiency figure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kie_invoice_minimal_spark.plans.entity_linking import alias_triples, link_entities  # noqa: E402
+from kie_invoice_minimal_spark.plans.pipeline import extract_triples_df  # noqa: E402
+from kie_invoice_minimal_spark.operators.mention_detect import detect_mentions_arrow, detect_mentions_native  # noqa: E402
+from kie_invoice_minimal_spark.operators.triples import materialize_triples, write_triples  # noqa: E402
+from kie_invoice_minimal_spark.session import get_spark  # noqa: E402
+from kie_invoice_minimal_spark.sources.transcripts import synth_transcripts  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet dir of transcripts")
+    ap.add_argument("--synth", type=int, help="generate N synthetic turns instead")
+    ap.add_argument("--output", help="output dir for the triples table (partitioned write)")
+    ap.add_argument("--engine", default="arrow", choices=["arrow", "native"])
+    ap.add_argument("--link-entities", action="store_true")
+    ap.add_argument("--master", default=None, help="e.g. local[8]; default env/cluster")
+    ap.add_argument("--partitions", type=int, default=64, help="input partitions for --synth")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="kg-pipeline", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.synth:
+        transcripts = synth_transcripts(spark, args.synth, partitions=args.partitions)
+    elif args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        ap.error("need --input or --synth")
+
+    detect = detect_mentions_arrow if args.engine == "arrow" else detect_mentions_native
+
+    t0 = time.time()
+    mentions = detect(transcripts)
+    triples = materialize_triples(mentions)
+    if args.link_entities:
+        emap = link_entities(mentions)
+        triples = triples.unionByName(
+            alias_triples(emap).selectExpr(
+                "subj", "pred", "obj", "cast(null as string) as conv_id"
+            )
+        )
+    if args.output:
+        write_triples(triples, args.output)
+        n_triples = spark.read.parquet(args.output).count()
+    else:
+        triples.write.format("noop").mode("overwrite").save()
+        n_triples = -1
+    wall = time.time() - t0
+
+    n_turns = args.synth or transcripts.count()
+    print(
+        json.dumps(
+            {
+                "engine": args.engine,
+                "master": args.master or "default",
+                "n_turns": n_turns,
+                "n_triples": n_triples,
+                "wall_sec": round(wall, 3),
+                "turns_per_sec": round(n_turns / wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north rule: efficiency >= 0.8 from N to 4N).
+
+No real cluster exists in this sandbox, so the two-cluster-size criterion is
+evidenced by running the IDENTICAL job (scripts/run_pipeline.py, same input,
+same partition count) at two parallelism levels — local[N] and local[4N] —
+in separate JVMs, and reporting throughput at both plus
+
+    efficiency = (throughput_4N / throughput_N) / 4.
+
+Usage: python scripts/scaling_bench.py [--n-low 8] [--turns 600000]
+Appends a markdown row set to BENCH_SCALING.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(master: str, turns: int, engine: str) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_pipeline.py"),
+            "--synth", str(turns),
+            "--engine", engine,
+            "--master", master,
+            "--partitions", "64",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-low", type=int, default=8)
+    ap.add_argument("--turns", type=int, default=600_000)
+    ap.add_argument("--engine", default="arrow")
+    args = ap.parse_args()
+    n_hi = args.n_low * 4
+
+    lo = run_once(f"local[{args.n_low}]", args.turns, args.engine)
+    hi = run_once(f"local[{n_hi}]", args.turns, args.engine)
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+    result = {
+        "metric": "scaling_efficiency_NtoN4",
+        "engine": args.engine,
+        "n_turns": args.turns,
+        "low_parallelism": args.n_low,
+        "high_parallelism": n_hi,
+        "throughput_low": lo["turns_per_sec"],
+        "throughput_high": hi["turns_per_sec"],
+        "wall_low_sec": lo["wall_sec"],
+        "wall_high_sec": hi["wall_sec"],
+        "efficiency": round(eff, 3),
+        "passes_0.8_gate": eff >= 0.8,
+    }
+    print(json.dumps(result))
+    md = (
+        f"\n| {args.engine} | {args.turns} | local[{args.n_low}] "
+        f"{lo['turns_per_sec']} turns/s | local[{n_hi}] {hi['turns_per_sec']} turns/s "
+        f"| {round(eff, 3)} |"
+    )
+    path = os.path.join(REPO, "BENCH_SCALING.md")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(
+                "# Scaling evidence (local[N] vs local[4N], same input & partitions)\n\n"
+                "efficiency = (throughput_4N / throughput_N) / 4; gate >= 0.8\n\n"
+                "| engine | turns | low | high | efficiency |\n|---|---|---|---|---|"
+            )
+    with open(path, "a") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()
