@@ -17,6 +17,7 @@ from kie_invoice_minimal_spark.functions import duckdb_oracle
 from kie_invoice_minimal_spark.operators import dedup as DD
 from kie_invoice_minimal_spark.operators import multimodal as MM
 from kie_invoice_minimal_spark.operators import relational as R
+from kie_invoice_minimal_spark.operators import relational_ext as RX
 from kie_invoice_minimal_spark.operators import similarity as SS
 from kie_invoice_minimal_spark.operators import text_analysis as TA
 from kie_invoice_minimal_spark.operators.connected_components import connected_components
@@ -107,6 +108,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (stubbed decode, real Arrow pipeline)
         "mm_decode_metadata": MM.mm_decode_metadata,
         "mm_frame_sample": MM.mm_frame_sample,
+        # extended operator batch (SURVEY.md R3/E4/A2A3/A10/O2/O3/P8/rollup)
+        "r3_text_encode": RX.r3_text_encode,
+        "e4_graph_norm": RX.e4_graph_norm,
+        "a2a3_message_pass": RX.a2a3_message_pass,
+        "a10_accuracy": RX.a10_accuracy,
+        "o3_confusion_matrix": RX.o3_confusion_matrix,
+        "o2_mention_output": RX.o2_mention_output,
+        "p8_trim_conversations": RX.p8_trim_conversations,
+        "rollup_doc_stats": RX.rollup_doc_stats,
+        "s2_json_props": RX.s2_json_props,
+        "s3_mapping_join": RX.s3_mapping_join,
+        "g5_turn_rank": RX.g5_turn_rank,
+        "g5_merge_conversations": RX.g5_merge_conversations,
+        "g4_realign_semi_join": RX.g4_realign_semi_join,
     }
 
 
@@ -143,4 +158,19 @@ def oracle_sql() -> dict[str, str]:
         "ss_lsh_ann": SS.SS_LSH_ANN_SQL,
         "mm_decode_metadata": MM.MM_DECODE_SQL,
         "mm_frame_sample": MM.MM_FRAME_SAMPLE_SQL,
+        "r3_text_encode": RX.R3_SQL,
+        "e4_graph_norm": RX.E4_SQL_TEMPLATE.format(
+            mentions=duckdb_oracle.mentions_sql()
+        ),
+        "a2a3_message_pass": RX.A2A3_SQL,
+        "a10_accuracy": RX.A10_SQL,
+        "o3_confusion_matrix": RX.O3_SQL,
+        "o2_mention_output": RX.o2_sql(),
+        "p8_trim_conversations": RX.p8_sql(),
+        "rollup_doc_stats": RX.ROLLUP_SQL,
+        "s2_json_props": RX.S2_SQL,
+        "s3_mapping_join": RX.S3_SQL,
+        "g5_turn_rank": RX.g5_turn_rank_sql(),
+        "g5_merge_conversations": RX.g5_merge_sql(),
+        "g4_realign_semi_join": RX.g4_sql(),
     }

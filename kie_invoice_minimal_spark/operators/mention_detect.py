@@ -67,22 +67,34 @@ def _classify_batch(df: pd.DataFrame) -> pd.DataFrame:
             {f.name: pd.Series(dtype="object") for f in MENTION_SCHEMA.fields}
         )
     toks = df["text"].str.split(" ")
-    ex = df[["conv_id", "turn_idx"]].copy()
-    ex["surface"] = toks
-    ex = ex.explode("surface", ignore_index=False)
-    ex["surface"] = ex["surface"].fillna("")
-    grp = ex.groupby(level=0)
-    ex["pos"] = grp.cumcount()
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    ex = pd.DataFrame(
+        {
+            "conv_id": np.repeat(df["conv_id"].to_numpy(), counts),
+            "turn_idx": np.repeat(df["turn_idx"].to_numpy(), counts),
+            "surface": toks.explode().fillna("").to_numpy(),
+        }
+    )
+    # segment arithmetic instead of groupby: per-turn offsets from the
+    # global cumsum and each segment's start
+    n = len(ex)
+    starts = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    ex["pos"] = pos
 
-    # char spans: start = cumsum(len+1) - (len+1) within each turn
-    tok_len = ex["surface"].str.len()
-    end_excl = (tok_len + 1).groupby(level=0).cumsum()
-    ex["span_start"] = (end_excl - (tok_len + 1)).astype("int64")
-    ex["span_end"] = (ex["span_start"] + tok_len).astype("int64")
+    # char spans: within-group cumsum of (len+1), vectorized via global
+    # cumsum minus each group's base
+    tok_len = ex["surface"].str.len().to_numpy(dtype=np.int64)
+    L = tok_len + 1
+    c = np.cumsum(L)
+    base = np.repeat(c[starts] - L[starts], counts)
+    span_start = c - base - L
+    ex["span_start"] = span_start
+    ex["span_end"] = span_start + tok_len
 
     low = ex["surface"].str.lower()
     prev_low = low.shift(1)
-    prev_low = prev_low.where(ex["pos"] > 0, "")
+    prev_low = prev_low.where(pos > 0, "")
 
     is_mfg_l = low.isin(rules.MFG_LABEL_TOKENS)
     is_exp_l = low.isin(rules.EXP_LABEL_TOKENS)
@@ -146,12 +158,16 @@ def detect_mentions_arrow(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def detect_mentions_native(transcripts: DataFrame) -> DataFrame:
+def detect_mentions_native(
+    transcripts: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Same semantics in pure JVM column expressions (no Python at all).
 
     posexplode(split(text)) gives (pos, token); the previous token comes
     from array indexing (no window/shuffle); char offsets via an
-    O(tokens) aggregate accumulator per turn.
+    O(tokens) aggregate accumulator per turn.  ``carry`` names extra input
+    columns passed through unchanged (e.g. ``ts`` for streaming watermarks —
+    keeping them in-plan avoids a stream-stream self-join).
     """
     mfg_l = ",".join(f"'{t}'" for t in rules.MFG_LABEL_TOKENS)
     exp_l = ",".join(f"'{t}'" for t in rules.EXP_LABEL_TOKENS)
@@ -159,13 +175,16 @@ def detect_mentions_native(transcripts: DataFrame) -> DataFrame:
     brands = ",".join(f"'{t}'" for t in sorted(rules.BRAND_GAZETTEER))
     names = ",".join(f"'{t}'" for t in sorted(rules.NAME_GAZETTEER))
 
+    carry_cols = list(carry)
     toks = transcripts.select(
         "conv_id",
         "turn_idx",
+        *carry_cols,
         F.split("text", " ").alias("toks"),
     ).select(
         "conv_id",
         "turn_idx",
+        *carry_cols,
         # running char offsets: starts[i] = i + sum(len(toks[j]) for j<i)
         F.expr(
             """
@@ -183,6 +202,7 @@ def detect_mentions_native(transcripts: DataFrame) -> DataFrame:
     ).select(
         "conv_id",
         "turn_idx",
+        *carry_cols,
         F.posexplode(
             F.expr("zip_with(toks, starts, (t, s) -> struct(t as tok, s as start))")
         ).alias("pos", "z"),
@@ -190,6 +210,7 @@ def detect_mentions_native(transcripts: DataFrame) -> DataFrame:
     ).select(
         "conv_id",
         "turn_idx",
+        *carry_cols,
         F.col("pos").cast("int").alias("pos"),
         F.col("z.start").alias("span_start"),
         (F.col("z.start") + F.length("z.tok")).cast("int").alias("span_end"),
@@ -220,6 +241,7 @@ def detect_mentions_native(transcripts: DataFrame) -> DataFrame:
     return classified.filter(F.col("mention_type") != rules.OTHER).select(
         "conv_id",
         "turn_idx",
+        *carry_cols,
         "pos",
         F.col("span_start").cast("int").alias("span_start"),
         "span_end",

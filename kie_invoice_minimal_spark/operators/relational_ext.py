@@ -1,0 +1,414 @@
+"""Second batch of SURVEY.md §2 operators with DuckDB twins — the rows not
+covered by operators/relational.py: text encoding (R3), graph-size norm
+(E4), one relational message-passing round (A2/A3 as join+agg), accuracy
+metrics (A10), confusion matrix (O3), mention-level output projection (O2),
+conversation crop/trim (P8), and a ROLLUP metrics table (§2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rules import ALPHABET, NODE_LABELS
+from ..functions import duckdb_oracle
+from ..sources.transcripts import transcripts_from_documents
+from .mention_detect import detect_mentions_arrow
+from .relational import ROUND_DP
+
+# --- R3: text encoding (ref kie_utils.py:68-75, configs.py:54) ---------------
+# uppercase, map each char to its 1-based alphabet index, OOV -> index of
+# ' ' (63).  Emitted as a ','-joined string so the hash compare is scalar.
+
+SPACE_IDX = ALPHABET.index(" ") + 1  # 63
+
+
+def r3_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed width 50 mirrors train_kie.py:44-56; whole expression in SQL so
+    # the per-char index lambda stays a single codegen'd expression
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"""
+            array_join(
+              transform(
+                sequence(1, length(substring(text, 1, 50))),
+                i -> cast(coalesce(
+                       nullif(instr('{ALPHABET}', substr(upper(substring(text, 1, 50)), i, 1)), 0),
+                       {SPACE_IDX}) as string)
+              ), ',')
+            """
+        ).alias("encoded"),
+    )
+
+
+R3_SQL = f"""
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           range(1, length(substring(text, 1, 50)) + 1),
+           i -> CAST(CASE WHEN strpos('{ALPHABET}', substring(upper(substring(text, 1, 50)), i, 1)) = 0
+                     THEN {SPACE_IDX}
+                     ELSE strpos('{ALPHABET}', substring(upper(substring(text, 1, 50)), i, 1)) END
+                AS VARCHAR)), ',') AS encoded
+FROM documents
+"""
+
+
+# --- E4: graph-size normalizers (ref kie_utils.py:158-164) --------------------
+
+def e4_graph_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snorm_n = sqrt(1/n_mentions) per conversation graph."""
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    return m.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.round(F.sqrt(1.0 / F.count("*")), 6).alias("snorm_n"),
+    )
+
+
+E4_SQL_TEMPLATE = """
+SELECT conv_id, count(*) AS n_nodes, round(sqrt(1.0 / count(*)), 6) AS snorm_n
+FROM ({mentions}) GROUP BY conv_id
+"""
+
+
+# --- A2+A3: one message-passing round as join + aggregate ---------------------
+# Per destination event: sigmoid-gated weighted mean of same-user source
+# values within the 1h band — the GatedGCN reduce (gated_gcn.py:76-84)
+# expressed relationally.
+
+def a2a3_message_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    edges = a.join(b, "user_id").filter(
+        (F.col("a.event_id") != F.col("b.event_id"))
+        & (F.abs(F.col("a.ts_us") - F.col("b.ts_us")) <= F.lit(3_600_000_000))
+    )
+    gate = 1.0 / (
+        1.0
+        + F.exp(
+            F.abs(F.col("a.ts_us") - F.col("b.ts_us")) / F.lit(3_600_000_000.0) - 0.5
+        )
+    )
+    return (
+        edges.select(
+            F.col("b.event_id").alias("event_id"),
+            (gate * F.col("a.value")).alias("gv"),
+            gate.alias("g"),
+        )
+        .groupBy("event_id")
+        .agg(
+            F.round(F.sum("gv") / (F.sum("g") + 1e-6), ROUND_DP).alias("h_agg"),
+            F.count("*").cast("bigint").alias("n_in"),
+        )
+    )
+
+
+A2A3_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+),
+edges AS (
+  SELECT b.event_id AS event_id,
+         (1.0 / (1.0 + exp(abs(a.ts_us - b.ts_us) / 3600000000.0 - 0.5))) * a.value AS gv,
+         1.0 / (1.0 + exp(abs(a.ts_us - b.ts_us) / 3600000000.0 - 0.5)) AS g
+  FROM ev a JOIN ev b ON a.user_id = b.user_id
+  WHERE a.event_id != b.event_id AND abs(a.ts_us - b.ts_us) <= 3600000000
+)
+SELECT event_id, round(sum(gv) / (sum(g) + 1e-6), {ROUND_DP}) AS h_agg,
+       count(*) AS n_in
+FROM edges GROUP BY event_id
+"""
+
+
+# --- A10: accuracy metrics (ref gated_gcn.py:492-495, train_kie.py:200-221) ----
+
+def a10_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = F.when(
+        (F.array_max("embedding") >= F.lit(0.5))
+        & (F.array_position("embedding", F.array_max("embedding")) != F.lit(1)),
+        F.array_position("embedding", F.array_max("embedding")) - 1,
+    ).otherwise(F.lit(0)).cast("int")
+    p = emb.select(F.col("label").alias("gold"), pred.alias("pred"))
+    return p.groupBy("gold").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg((F.col("pred") == F.col("gold")).cast("double")), 6).alias("accuracy"),
+    )
+
+
+A10_SQL = """
+WITH p AS (
+  SELECT label AS gold,
+         CAST(CASE WHEN list_max(embedding) >= 0.5
+                    AND list_position(embedding, list_max(embedding)) != 1
+               THEN list_position(embedding, list_max(embedding)) - 1
+               ELSE 0 END AS INTEGER) AS pred
+  FROM embeddings
+)
+SELECT gold, count(*) AS n,
+       round(avg(CASE WHEN pred = gold THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM p GROUP BY gold
+"""
+
+
+# --- O3: confusion matrix (ref evaluate.py:73-87) ------------------------------
+
+def o3_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = F.when(
+        (F.array_max("embedding") >= F.lit(0.5))
+        & (F.array_position("embedding", F.array_max("embedding")) != F.lit(1)),
+        F.array_position("embedding", F.array_max("embedding")) - 1,
+    ).otherwise(F.lit(0)).cast("int")
+    return (
+        emb.select(F.col("label").alias("gold"), pred.alias("pred"))
+        .groupBy("gold", "pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+O3_SQL = """
+WITH p AS (
+  SELECT label AS gold,
+         CAST(CASE WHEN list_max(embedding) >= 0.5
+                    AND list_position(embedding, list_max(embedding)) != 1
+               THEN list_position(embedding, list_max(embedding)) - 1
+               ELSE 0 END AS INTEGER) AS pred
+  FROM embeddings
+)
+SELECT gold, pred, count(*) AS n FROM p GROUP BY gold, pred
+"""
+
+
+# --- O2: mention-level output projection (ref inference_kie.py:140-180) --------
+
+def o2_mention_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mention result objects: label id, span bounds — the display_json
+    analog with least/greatest over the span."""
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    label_idx = F.array_position(
+        F.array(*[F.lit(l) for l in NODE_LABELS]), F.col("mention_type")
+    ) - 1
+    return m.select(
+        "conv_id",
+        "turn_idx",
+        "surface",
+        F.col("mention_type").alias("label"),
+        label_idx.cast("int").alias("label_id"),
+        F.least("span_start", "span_end").alias("x_min"),
+        F.greatest("span_start", "span_end").alias("x_max"),
+        F.length("surface").cast("int").alias("span_len"),
+    )
+
+
+def o2_sql() -> str:
+    whens = " ".join(f"WHEN '{l}' THEN {i}" for i, l in enumerate(NODE_LABELS))
+    return (
+        duckdb_oracle._classified_tokens_cte("SELECT doc_id AS k FROM documents")
+        + f"""
+SELECT conv_id, turn_idx, surface, mention_type AS label,
+       CAST(CASE mention_type {whens} END AS INTEGER) AS label_id,
+       least(span_start, span_end) AS x_min,
+       greatest(span_start, span_end) AS x_max,
+       CAST(length(surface) AS INTEGER) AS span_len
+FROM lab WHERE mention_type != 'OTHER'
+"""
+    )
+
+
+# --- P8: conversation crop (ref backend_utils.py:135-143) ----------------------
+
+def p8_trim_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim leading/trailing mention-less turns per conversation — the
+    bounding-box crop of non-zero content lifted to transcripts."""
+    t = transcripts_from_documents(spark, sf_dir)
+    m = detect_mentions_arrow(t)
+    bounds = m.groupBy("conv_id").agg(
+        F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi")
+    )
+    return (
+        t.join(bounds, "conv_id")
+        .filter((F.col("turn_idx") >= F.col("lo")) & (F.col("turn_idx") <= F.col("hi")))
+        .select("conv_id", "turn_idx", "text")
+    )
+
+
+def p8_sql() -> str:
+    return (
+        duckdb_oracle._classified_tokens_cte("SELECT doc_id AS k FROM documents")
+        + """
+, bounds AS (
+  SELECT conv_id, min(turn_idx) AS lo, max(turn_idx) AS hi
+  FROM lab WHERE mention_type != 'OTHER' GROUP BY conv_id
+)
+SELECT t.conv_id, t.turn_idx, t.text
+FROM transcripts t JOIN bounds b ON t.conv_id = b.conv_id
+WHERE t.turn_idx BETWEEN b.lo AND b.hi
+"""
+    )
+
+
+# --- S2: JSON ingestion (ref prepare_data.py:10-23) -----------------------------
+# events.props carries a JSON payload; parse + project fields.
+
+def s2_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.when(F.get_json_object("props", "$.k").cast("bigint") >= 50, "high")
+        .otherwise("low")
+        .alias("k_band"),
+    )
+
+
+S2_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+"""
+
+
+# --- S3: small-dimension mapping via broadcast join (ref convert_labelme.py) ----
+
+EVENT_CATEGORY = {
+    "view": "passive",
+    "click": "active",
+    "purchase": "conversion",
+    "signup": "conversion",
+    "logout": "passive",
+}
+
+
+def s3_mapping_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup-table projection: broadcast the tiny mapping dim (the
+    reference's cate/group dict lookups as a join)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mapping = ev.sparkSession.createDataFrame(
+        sorted(EVENT_CATEGORY.items()), "event_type string, category string"
+    )
+    return (
+        ev.join(F.broadcast(mapping), "event_type", "left")
+        .groupBy(F.coalesce("category", F.lit("other")).alias("category"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _s3_sql() -> str:
+    rows = ", ".join(f"('{k}', '{v}')" for k, v in sorted(EVENT_CATEGORY.items()))
+    return f"""
+WITH mapping(event_type, category) AS (VALUES {rows})
+SELECT coalesce(m.category, 'other') AS category, count(*) AS n
+FROM events e LEFT JOIN mapping m USING (event_type)
+GROUP BY 1
+"""
+
+
+S3_SQL = _s3_sql()
+
+
+# --- G5a: explicit window ranking over turns (ref contour sort) ------------------
+
+def g5_turn_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = transcripts_from_documents(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w).cast("int").alias("turn_rank"),
+        F.lag("role").over(w).alias("prev_role"),
+    )
+
+
+def g5_turn_rank_sql() -> str:
+    return f"""
+WITH transcripts AS ({duckdb_oracle.duckdb_transcripts_sql()})
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS INTEGER)
+         AS turn_rank,
+       lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev_role
+FROM transcripts
+"""
+
+
+# --- G5b: whole-conversation ordered merge ---------------------------------------
+
+def g5_merge_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .turn_order import merge_conversation_text
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return merge_conversation_text(t).select(
+        "conv_id", "conv_text", F.col("n_turns").cast("bigint").alias("n_turns")
+    )
+
+
+def g5_merge_sql() -> str:
+    return f"""
+WITH transcripts AS ({duckdb_oracle.duckdb_transcripts_sql()})
+SELECT conv_id,
+       string_agg(text, ' ' ORDER BY turn_idx, ts) AS conv_text,
+       count(*) AS n_turns
+FROM transcripts GROUP BY conv_id
+"""
+
+
+# --- G4: key-carrying re-alignment (semi-join) (ref backend_utils.py:160-187) ----
+
+def g4_realign_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only turns that produced >= 1 mention — the reference's 'keep
+    matched boxes' as a left-semi join on the carried key (no O(n^2) scan)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    m = detect_mentions_arrow(t)
+    return (
+        t.join(m.select("conv_id", "turn_idx").distinct(), ["conv_id", "turn_idx"], "left_semi")
+        .select("conv_id", "turn_idx", "role")
+    )
+
+
+def g4_sql() -> str:
+    return (
+        duckdb_oracle._classified_tokens_cte("SELECT doc_id AS k FROM documents")
+        + """
+SELECT t.conv_id, t.turn_idx, t.role
+FROM transcripts t
+WHERE EXISTS (SELECT 1 FROM lab l
+              WHERE l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx
+                AND l.mention_type != 'OTHER')
+"""
+    )
+
+
+# --- §2.9: ROLLUP metrics table -------------------------------------------------
+
+def rollup_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""

@@ -1,0 +1,76 @@
+"""Structured Streaming variant of the extraction pipeline — SURVEY.md §7.
+
+The reference is a request/response server (``api.py:66-84``): each request
+is one document processed on arrival.  The streaming analog consumes
+transcript *appends* (a parquet directory a producer keeps writing into —
+stand-in for a Kafka/Iceberg CDC feed), runs the SAME mention-detection
+plan (narrow ops are streaming-safe as-is), and maintains two sinks:
+
+- ``mentions`` — stateless append stream (one row per detected mention);
+- ``label_counts`` — windowed aggregation by mention_type with a watermark
+  on ``ts`` (late turns beyond the watermark are dropped, the documented
+  late-data policy).
+
+Scale notes: the detector is stateless so it scales with input partitions;
+the windowed agg keys are (window, mention_type) — 8 labels, bounded state.
+Checkpointing is Spark's own offset/state checkpoint (exactly-once per
+sink), complementing the batch pipeline's snapshot checkpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mention_detect import detect_mentions_native
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+WATERMARK = "10 minutes"
+WINDOW = "5 minutes"
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def streaming_mentions(transcripts: DataFrame) -> DataFrame:
+    """The batch detector applied to a stream — identical plan, narrow ops
+    only, so it is trigger-by-trigger incremental with no state; ``ts`` is
+    carried through in-plan for watermarking (no stream-stream join)."""
+    return detect_mentions_native(
+        transcripts.select("conv_id", "turn_idx", "text", "ts"), carry=("ts",)
+    )
+
+
+def streaming_label_counts(transcripts: DataFrame) -> DataFrame:
+    """Windowed mention counts per label with late-data watermark."""
+    m = streaming_mentions(transcripts)
+    return (
+        m.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "mention_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "mention_type",
+            "n",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str, name: str = "label_counts"
+):
+    """Start the windowed-count stream into an in-memory table (tests/demo);
+    production would writeStream.format('parquet'/'iceberg')."""
+    counts = streaming_label_counts(read_transcript_stream(spark, input_dir))
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

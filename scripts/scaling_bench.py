@@ -23,16 +23,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(master: str, turns: int, engine: str) -> dict:
+def run_once(master: str, turns: int, engine: str, n_cpus: int) -> dict:
+    # taskset pins the whole process tree (JVM + Python workers) to exactly
+    # n_cpus cores — otherwise local[8] on a 32-core box borrows extra cores
+    # for GC/shuffle threads and the comparison is not N vs 4N.
+    cmd = [
+        "taskset", "-c", f"0-{n_cpus - 1}",
+        sys.executable,
+        os.path.join(REPO, "scripts", "run_pipeline.py"),
+        "--synth", str(turns),
+        "--engine", engine,
+        "--master", master,
+        "--partitions", "128",
+        "--repeats", "2",
+    ]
     out = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "scripts", "run_pipeline.py"),
-            "--synth", str(turns),
-            "--engine", engine,
-            "--master", master,
-            "--partitions", "64",
-        ],
+        cmd,
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -45,13 +51,13 @@ def run_once(master: str, turns: int, engine: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-low", type=int, default=8)
-    ap.add_argument("--turns", type=int, default=600_000)
+    ap.add_argument("--turns", type=int, default=6_000_000)
     ap.add_argument("--engine", default="arrow")
     args = ap.parse_args()
     n_hi = args.n_low * 4
 
-    lo = run_once(f"local[{args.n_low}]", args.turns, args.engine)
-    hi = run_once(f"local[{n_hi}]", args.turns, args.engine)
+    lo = run_once(f"local[{args.n_low}]", args.turns, args.engine, args.n_low)
+    hi = run_once(f"local[{n_hi}]", args.turns, args.engine, n_hi)
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
     result = {
         "metric": "scaling_efficiency_NtoN4",
