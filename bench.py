@@ -54,12 +54,17 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # Flagship: synth transcripts -> triples (arrow + native engines).
+    # Warmup (codegen + python workers) then min-of-2 steady-state timing.
     transcripts = synth_transcripts(spark, n_turns).persist()
     n_actual = transcripts.count()  # materialize input outside the timing
+    _materialize(extract_triples_df(synth_transcripts(spark, 20_000), engine="arrow"))
     for eng in ("arrow", "native"):
-        t0 = time.time()
-        _materialize(extract_triples_df(transcripts, engine=eng))
-        timings[f"kg_pipeline_{eng}"] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(extract_triples_df(transcripts, engine=eng))
+            walls.append(time.time() - t0)
+        timings[f"kg_pipeline_{eng}"] = round(min(walls), 3)
     turns_per_sec = round(n_actual / timings["kg_pipeline_arrow"], 1)
     transcripts.unpersist()
 

@@ -95,7 +95,11 @@ def surface_signatures(mentions: DataFrame, surface_col: str = "surface") -> Dat
     return surf.select("surface", "norm", "grams", *band_cols)
 
 
-def candidate_pairs(mentions: DataFrame, surface_col: str = "surface") -> DataFrame:
+def candidate_pairs(
+    mentions: DataFrame,
+    surface_col: str = "surface",
+    max_block_size: int = MAX_BLOCK_SIZE,
+) -> DataFrame:
     """Unordered candidate surface pairs sharing >= 1 MinHash band.
 
     Returns: surface_a, surface_b, norm_a, norm_b, grams_a, grams_b,
@@ -116,7 +120,7 @@ def candidate_pairs(mentions: DataFrame, surface_col: str = "surface") -> DataFr
     # block-size cap: count per block, drop oversized blocks (counted upstream)
     sizes = bands.groupBy("band_no", "block_key").agg(F.count("*").alias("block_n"))
     bands = bands.join(
-        F.broadcast(sizes.filter(F.col("block_n") <= MAX_BLOCK_SIZE)),
+        F.broadcast(sizes.filter(F.col("block_n") <= max_block_size)),
         ["band_no", "block_key"],
     )
     a = bands.alias("a")

@@ -32,6 +32,8 @@ def materialize_triples(mentions: DataFrame, subj_col: str = "conv_id") -> DataF
     array_sort of collected structs, not a global sort."""
     return (
         mentions.filter(F.col("mention_type") != OTHER)
+        # shuffle only what the aggregation needs — span offsets stay behind
+        .select(subj_col, "mention_type", "turn_idx", "pos", "surface")
         .groupBy(F.col(subj_col).alias("subj"), F.col("mention_type").alias("pred"))
         .agg(
             F.array_join(

@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle spill dir: prefer tmpfs when available (models the per-executor
+    # NVMe a real cluster node has; keeps single-box shuffle off the shared
+    # slow disk).  Override with SPARK_LOCAL_DIRS.
+    if os.environ.get("SPARK_LOCAL_DIRS") is None and os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -111,3 +111,12 @@ def test_alias_triples(spark, brand_mentions):
     assert all(r.pred == "HAS_ALIAS" for r in rows)
     assert all(r.subj != r.obj for r in rows)
     assert len(rows) > 0
+
+
+def test_block_size_cap(spark, brand_mentions):
+    """Oversized blocks are dropped, not exploded (the spill-avoidance /
+    hot-block policy): with a tiny cap, candidate volume shrinks."""
+    full = candidate_pairs(brand_mentions).count()
+    capped = candidate_pairs(brand_mentions, max_block_size=2).count()
+    assert capped < full
+    assert capped >= 0
