@@ -40,7 +40,7 @@ def plan_of(df) -> str:
 def audit(name: str, plan: str) -> list[str]:
     flags = []
     n_exchange = len(re.findall(r"\bExchange\b", plan))
-    n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+    n_codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
     if "BatchEvalPython" in plan:
         flags.append("ROW-AT-A-TIME PYTHON UDF (BatchEvalPython) — forbidden")
     if re.search(r"ReadSchema: struct<.{400,}", plan):

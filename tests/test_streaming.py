@@ -3,10 +3,7 @@ mention/label counts as the batch plan."""
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import functions as F
-
 from kie_invoice_minimal_spark.operators.mention_detect import detect_mentions_native
 from kie_invoice_minimal_spark.sources.transcripts import synth_transcripts
 from kie_invoice_minimal_spark.streaming.stream_pipeline import run_stream_to_memory
@@ -40,3 +37,40 @@ def test_stream_matches_batch(spark, tmp_path):
     want = {(r.ws, r.mention_type): r.n for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_stateful_conversation_state(spark, tmp_path):
+    """applyInPandasWithState: running per-conversation summaries across two
+    incremental appends equal the batch recomputation."""
+    from kie_invoice_minimal_spark.operators.mention_detect import detect_mentions_arrow
+    from kie_invoice_minimal_spark.streaming.stateful import run_state_stream_to_memory
+
+    in_dir = str(tmp_path / "in2")
+    ckpt = str(tmp_path / "ckpt2")
+    t = synth_transcripts(spark, 400)
+    t.filter("turn_idx < 2").write.mode("append").parquet(in_dir)
+    t.filter("turn_idx >= 2").write.mode("append").parquet(in_dir)
+
+    q = run_state_stream_to_memory(spark, in_dir, ckpt, name="cs_test")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT conv_id, max(n_turns) n_turns, max(n_mentions) n_mentions,"
+            " max(max_turn) max_turn FROM cs_test GROUP BY conv_id"
+        ).collect()
+        got = {r.conv_id: (r.n_turns, r.n_mentions, r.max_turn) for r in rows}
+    finally:
+        q.stop()
+
+    m = detect_mentions_arrow(t)
+    mcounts = {r.conv_id: r.cnt for r in m.groupBy("conv_id").count().withColumnRenamed("count", "cnt").collect()}
+    tstats = {
+        r.conv_id: (r.n, r.mx)
+        for r in t.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    want = {
+        c: (tstats[c][0], mcounts.get(c, 0), tstats[c][1]) for c in tstats
+    }
+    assert got == want
