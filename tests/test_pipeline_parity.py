@@ -55,3 +55,17 @@ def test_merge_conversation_text(spark):
     assert merged == {
         c: (" ".join(txts), len(txts)) for c, txts in by_conv.items()
     }
+
+
+def test_salt_spreads_hot_subject(spark):
+    """Skew handling: a hot subject's triples spread across several salt
+    buckets so no single write task owns the whole partition."""
+    from kie_invoice_minimal_spark.operators.triples import with_partition_keys
+
+    rows = [("hot-brand", "BRAND", f"obj-{i}", f"conv-{i}") for i in range(200)]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string, conv_id string")
+    keyed = with_partition_keys(t)
+    salts = keyed.select("salt").distinct().count()
+    buckets = keyed.select("subj_bucket").distinct().count()
+    assert buckets == 1  # one subject -> one bucket
+    assert salts > 1  # ...but many salts within it
