@@ -234,17 +234,26 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (F.floor(F.size(F.split(F.col("text"), " ")) / 20)).alias("len_band"),
-        _tok_shingles(F.col("text")).alias("sh"),
+        # intersect hashed longs, not strings — same Jaccard (both engines
+        # hash identically), far cheaper set ops
+        F.array_sort(
+            F.transform(_tok_shingles(F.col("text")), lambda g: mdhash_spark(g))
+        ).alias("sh"),
     )
+    d = d.withColumn("n_sh", F.size("sh"))
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.len_band") == F.col("b.len_band"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # lossless prune: J <= min/max of the set sizes, so a pair whose
+        # smaller shingle set is under half the larger can never reach
+        # JACCARD_THS=0.5 — skip the expensive intersect for those
+        & (F.least("a.n_sh", "b.n_sh") * 2 >= F.greatest("a.n_sh", "b.n_sh")),
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    union = F.col("a.n_sh") + F.col("b.n_sh") - inter
     jac = F.round(inter.cast("double") / union, 6)
     return pairs.select(
         F.col("a.doc_id").alias("doc_a"),
@@ -257,7 +266,7 @@ DD_NGRAM_JACCARD_SQL = f"""
 WITH t AS (
   SELECT doc_id, lang,
          CAST(floor(len(string_split(text, ' ')) / 20) AS BIGINT) AS len_band,
-         {_TOK_SHINGLES_SQL} AS sh
+         list_sort(list_transform({_TOK_SHINGLES_SQL}, g -> {MDHASH_SQL('g')})) AS sh
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -278,8 +287,13 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup vectors: block on label (coarse quantization), exact cosine
     within block, threshold.  Dot/norm as sequential double folds so both
     engines sum in the same order."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        # norms once per row, not once per pair
+        .withColumn(
+            "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x))
+        )
     )
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
@@ -287,9 +301,7 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda s, x: s + x,
     )
-    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda s, x: s + x * x))
-    cos = F.round(dot / (na * nb), 6)
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     return (
         a.join(
             b,
