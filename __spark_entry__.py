@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_turn_rank": RX.g5_turn_rank,
         "g5_merge_conversations": RX.g5_merge_conversations,
         "g4_realign_semi_join": RX.g4_realign_semi_join,
+        "setop_split_check": RX.setop_split_check,
     }
 
 
@@ -173,4 +174,5 @@ def oracle_sql() -> dict[str, str]:
         "g5_turn_rank": RX.g5_turn_rank_sql(),
         "g5_merge_conversations": RX.g5_merge_sql(),
         "g4_realign_semi_join": RX.g4_sql(),
+        "setop_split_check": RX.SETOP_SQL,
     }

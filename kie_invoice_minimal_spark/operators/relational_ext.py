@@ -387,6 +387,53 @@ WHERE EXISTS (SELECT 1 FROM lab l
     )
 
 
+# --- set operations: split partition check (SURVEY §2.9 set ops) ----------------
+
+def setop_split_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of the three splits reconstructs the corpus and the splits are
+    pairwise disjoint — expressed with UNION/INTERSECT/EXCEPT."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.pmod("doc_id", F.lit(20)).alias("m")
+    )
+    train = d.filter(F.col("m") < 14).select("doc_id")
+    val = d.filter((F.col("m") >= 14) & (F.col("m") < 17)).select("doc_id")
+    test = d.filter(F.col("m") >= 17).select("doc_id")
+    return spark.createDataFrame(
+        [
+            ("union_reconstructs", train.union(val).union(test).distinct().count()),
+            ("train_val_overlap", train.intersect(val).count()),
+            ("val_test_overlap", val.intersect(test).count()),
+            ("corpus_minus_splits", d.select("doc_id").exceptAll(
+                train.union(val).union(test)).count()),
+        ],
+        "check string, n bigint",
+    )
+
+
+SETOP_SQL = """
+WITH d AS (SELECT doc_id, doc_id % 20 AS m FROM documents),
+train AS (SELECT doc_id FROM d WHERE m < 14),
+val AS (SELECT doc_id FROM d WHERE m >= 14 AND m < 17),
+tst AS (SELECT doc_id FROM d WHERE m >= 17)
+SELECT 'union_reconstructs' AS check,
+       (SELECT count(*) FROM (SELECT doc_id FROM train UNION
+                              SELECT doc_id FROM val UNION
+                              SELECT doc_id FROM tst)) AS n
+UNION ALL
+SELECT 'train_val_overlap',
+       (SELECT count(*) FROM (SELECT doc_id FROM train INTERSECT SELECT doc_id FROM val))
+UNION ALL
+SELECT 'val_test_overlap',
+       (SELECT count(*) FROM (SELECT doc_id FROM val INTERSECT SELECT doc_id FROM tst))
+UNION ALL
+SELECT 'corpus_minus_splits',
+       (SELECT count(*) FROM (SELECT doc_id FROM d EXCEPT ALL
+                              (SELECT doc_id FROM train UNION ALL
+                               SELECT doc_id FROM val UNION ALL
+                               SELECT doc_id FROM tst)))
+"""
+
+
 # --- §2.9: ROLLUP metrics table -------------------------------------------------
 
 def rollup_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

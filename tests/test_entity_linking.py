@@ -120,3 +120,38 @@ def test_block_size_cap(spark, brand_mentions):
     capped = candidate_pairs(brand_mentions, max_block_size=2).count()
     assert capped < full
     assert capped >= 0
+
+
+def test_cc_random_graph_vs_union_find(spark):
+    """Randomized CC vs a pure-Python union-find oracle."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+
+    parent = list(range(400))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for u, v in edges:
+        union(u, v)
+    touched = {x for e in edges if e[0] != e[1] for x in e}
+    # canonical min-id per component, restricted to nodes with real edges
+    want = {}
+    for x in sorted(touched):
+        r = find(x)
+        want.setdefault(r, x)
+    want_assign = {x: want[find(x)] for x in touched}
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want_assign
