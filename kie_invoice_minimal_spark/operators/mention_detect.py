@@ -32,6 +32,8 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,54 +59,56 @@ MENTION_SCHEMA_DDL = (
 )
 
 
+_MFG_L = pa.array(rules.MFG_LABEL_TOKENS)
+_EXP_L = pa.array(rules.EXP_LABEL_TOKENS)
+_WT_L = pa.array(rules.WEIGHT_LABEL_TOKENS)
+_BRANDS = pa.array(sorted(rules.BRAND_GAZETTEER))
+_NAMES = pa.array(sorted(rules.NAME_GAZETTEER))
+# RE2 patterns (pyarrow match_substring_regex); identical text to the
+# Python/SQL forms in rules.py
+_DATE_PAT = rules.DATE_RE_SQL
+_WEIGHT_PAT = rules.WEIGHT_RE_SQL
+
+
 def _classify_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Vectorized rule classifier over one Arrow batch of turns.
 
-    Everything below is numpy/pandas column ops — no Python loop over rows.
+    Tokenization, lowering, set membership and regex all run in pyarrow
+    compute kernels (C++); the segment arithmetic for positions/spans is
+    numpy.  No Python loop over rows or tokens.
     """
     if df.empty:
         return pd.DataFrame(
             {f.name: pd.Series(dtype="object") for f in MENTION_SCHEMA.fields}
         )
-    toks = df["text"].str.split(" ")
-    counts = toks.str.len().to_numpy(dtype=np.int64)
-    ex = pd.DataFrame(
-        {
-            "conv_id": np.repeat(df["conv_id"].to_numpy(), counts),
-            "turn_idx": np.repeat(df["turn_idx"].to_numpy(), counts),
-            "surface": toks.explode().fillna("").to_numpy(),
-        }
-    )
-    # segment arithmetic instead of groupby: per-turn offsets from the
-    # global cumsum and each segment's start
-    n = len(ex)
+    texts = pa.array(df["text"].astype(str), type=pa.string())
+    sp = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(sp)
+    counts = pc.list_value_length(sp).to_numpy().astype(np.int64)
+
+    n = int(counts.sum())
     starts = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
     pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
-    ex["pos"] = pos
 
-    # char spans: within-group cumsum of (len+1), vectorized via global
-    # cumsum minus each group's base
-    tok_len = ex["surface"].str.len().to_numpy(dtype=np.int64)
+    # char spans: within-turn cumsum of (len+1) = global cumsum - segment base
+    tok_len = pc.utf8_length(flat).to_numpy().astype(np.int64)
     L = tok_len + 1
     c = np.cumsum(L)
     base = np.repeat(c[starts] - L[starts], counts)
     span_start = c - base - L
-    ex["span_start"] = span_start
-    ex["span_end"] = span_start + tok_len
 
-    low = ex["surface"].str.lower()
-    prev_low = low.shift(1)
-    prev_low = prev_low.where(pos > 0, "")
+    low = pc.utf8_lower(flat)
+    is_mfg_l = pc.is_in(low, value_set=_MFG_L).to_numpy(zero_copy_only=False)
+    is_exp_l = pc.is_in(low, value_set=_EXP_L).to_numpy(zero_copy_only=False)
+    is_wt_l = pc.is_in(low, value_set=_WT_L).to_numpy(zero_copy_only=False)
+    is_date = pc.match_substring_regex(flat, _DATE_PAT).to_numpy(zero_copy_only=False)
+    is_weight = pc.match_substring_regex(low, _WEIGHT_PAT).to_numpy(zero_copy_only=False)
+    is_brand = pc.is_in(flat, value_set=_BRANDS).to_numpy(zero_copy_only=False)
+    is_name = pc.is_in(flat, value_set=_NAMES).to_numpy(zero_copy_only=False)
 
-    is_mfg_l = low.isin(rules.MFG_LABEL_TOKENS)
-    is_exp_l = low.isin(rules.EXP_LABEL_TOKENS)
-    is_wt_l = low.isin(rules.WEIGHT_LABEL_TOKENS)
-    is_date = ex["surface"].str.match(rules.DATE_RE, na=False)
-    is_weight = low.str.match(rules.WEIGHT_RE, na=False)
-    prev_mfg = prev_low.isin(rules.MFG_LABEL_TOKENS)
-    prev_exp = prev_low.isin(rules.EXP_LABEL_TOKENS)
-    is_brand = ex["surface"].isin(rules.BRAND_GAZETTEER)
-    is_name = ex["surface"].isin(rules.NAME_GAZETTEER)
+    # previous token's label-membership, shifted within each turn
+    prev_mfg = np.concatenate(([False], is_mfg_l[:-1])) & (pos > 0)
+    prev_exp = np.concatenate(([False], is_exp_l[:-1])) & (pos > 0)
 
     label = np.select(
         [
@@ -131,17 +135,19 @@ def _classify_batch(df: pd.DataFrame) -> pd.DataFrame:
         ],
         default=rules.OTHER,
     )
-    ex["mention_type"] = label
-    out = ex[ex["mention_type"] != rules.OTHER]
+    keep = label != rules.OTHER
+    surface = flat.to_numpy(zero_copy_only=False)
     return pd.DataFrame(
         {
-            "conv_id": out["conv_id"].astype(str),
-            "turn_idx": out["turn_idx"].astype("int32"),
-            "pos": out["pos"].astype("int32"),
-            "span_start": out["span_start"].astype("int32"),
-            "span_end": out["span_end"].astype("int32"),
-            "surface": out["surface"].astype(str),
-            "mention_type": out["mention_type"].astype(str),
+            "conv_id": np.repeat(df["conv_id"].to_numpy(), counts)[keep],
+            "turn_idx": np.repeat(
+                df["turn_idx"].to_numpy().astype(np.int32), counts
+            )[keep],
+            "pos": pos[keep].astype(np.int32),
+            "span_start": span_start[keep].astype(np.int32),
+            "span_end": (span_start + tok_len)[keep].astype(np.int32),
+            "surface": surface[keep],
+            "mention_type": label[keep],
         }
     )
 
