@@ -81,7 +81,8 @@ def _classify_batch(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {f.name: pd.Series(dtype="object") for f in MENTION_SCHEMA.fields}
         )
-    texts = pa.array(df["text"].astype(str), type=pa.string())
+    # null text = no content (never the string 'None')
+    texts = pa.array(df["text"].fillna("").astype(str), type=pa.string())
     sp = pc.split_pattern(texts, " ")
     flat = pc.list_flatten(sp)
     counts = pc.list_value_length(sp).to_numpy().astype(np.int64)
@@ -186,7 +187,7 @@ def detect_mentions_native(
         "conv_id",
         "turn_idx",
         *carry_cols,
-        F.split("text", " ").alias("toks"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"),
     ).select(
         "conv_id",
         "turn_idx",

@@ -87,3 +87,16 @@ def test_span_invariant(spark):
     bad = chk.filter(~chk.span_ok).count()
     assert bad == 0
     assert chk.count() > 0
+
+
+def test_null_text_handling(spark):
+    """Null/empty text yields no mentions (and never the literal 'None')."""
+    t = spark.createDataFrame(
+        [("c1", 0, None), ("c1", 1, ""), ("c1", 2, "NSX: 1/2023")],
+        "conv_id string, turn_idx int, text string",
+    )
+    a = sorted(map(tuple, detect_mentions_arrow(t).collect()))
+    n = sorted(map(tuple, detect_mentions_native(t).collect()))
+    assert a == n
+    assert all(r[1] == 2 for r in a)  # only the real turn produced mentions
+    assert len(a) == 2
