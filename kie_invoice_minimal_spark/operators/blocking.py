@@ -117,10 +117,12 @@ def candidate_pairs(
     ).select(
         "surface", "norm", "grams", "bd.band_no", F.col("bd.bkey").alias("block_key")
     )
-    # block-size cap: count per block, drop oversized blocks (counted upstream)
+    # block-size cap: count per block, drop oversized blocks (counted
+    # upstream).  Plain join — the sizes table is O(distinct blocks), far too
+    # big to broadcast at corpus scale; AQE picks broadcast when it fits.
     sizes = bands.groupBy("band_no", "block_key").agg(F.count("*").alias("block_n"))
     bands = bands.join(
-        F.broadcast(sizes.filter(F.col("block_n") <= max_block_size)),
+        sizes.filter(F.col("block_n") <= max_block_size),
         ["band_no", "block_key"],
     )
     a = bands.alias("a")
@@ -143,10 +145,32 @@ def candidate_pairs(
         )
     )
     # dedupe pairs that co-occur in several bands: keep min block_key
-    return pairs.groupBy("surface_a", "surface_b").agg(
+    deduped = pairs.groupBy("surface_a", "surface_b").agg(
         F.first("norm_a").alias("norm_a"),
         F.first("norm_b").alias("norm_b"),
         F.first("grams_a").alias("grams_a"),
         F.first("grams_b").alias("grams_b"),
         F.min("block_key").alias("block_key"),
+    )
+    # pair features computed JVM-side so the scorer UDF gets ready columns
+    # (no set algebra in Python): 3-gram Jaccard, normalized equality,
+    # 2-char-prefix match, length ratio.
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = (F.size("grams_a") + F.size("grams_b")).cast("double") - inter
+    la = F.length("norm_a").cast("double")
+    lb = F.length("norm_b").cast("double")
+    return deduped.select(
+        "surface_a",
+        "surface_b",
+        "norm_a",
+        "norm_b",
+        "block_key",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        (F.col("norm_a") == F.col("norm_b")).cast("double").alias("norm_eq"),
+        (F.substring("norm_a", 1, 2) == F.substring("norm_b", 1, 2))
+        .cast("double")
+        .alias("prefix_eq"),
+        (F.least(la, lb) / F.greatest(F.greatest(la, lb), F.lit(1.0))).alias(
+            "len_ratio"
+        ),
     )

@@ -117,24 +117,18 @@ def _gcn_embeddings(
 
 def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
     """Score one candidate block: build the local graph, run the GCN,
-    classify each pair.  Vectorized throughout."""
+    classify each pair.  Pair features (Jaccard etc.) arrive precomputed
+    JVM-side from blocking.candidate_pairs — the UDF is pure numpy."""
     w = _weights()
     surfaces = pd.unique(pd.concat([pdf["norm_a"], pdf["norm_b"]], ignore_index=True))
     idx = {s: i for i, s in enumerate(surfaces)}
     src = pdf["norm_a"].map(idx).to_numpy()
     dst = pdf["norm_b"].map(idx).to_numpy()
 
-    # pair features (vectorized)
-    ga = pdf["grams_a"].map(set)
-    gb = pdf["grams_b"].map(set)
-    inter = np.array([len(a & b) for a, b in zip(ga, gb)], dtype=np.float64)
-    union = np.array([len(a | b) for a, b in zip(ga, gb)], dtype=np.float64)
-    jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-    eq = (pdf["norm_a"] == pdf["norm_b"]).to_numpy(dtype=np.float64)
-    pfx = (pdf["norm_a"].str[:2] == pdf["norm_b"].str[:2]).to_numpy(dtype=np.float64)
-    la = pdf["norm_a"].str.len().to_numpy(dtype=np.float64)
-    lb = pdf["norm_b"].str.len().to_numpy(dtype=np.float64)
-    lratio = np.minimum(la, lb) / np.maximum(np.maximum(la, lb), 1)
+    jacc = pdf["jaccard"].to_numpy(dtype=np.float64)
+    eq = pdf["norm_eq"].to_numpy(dtype=np.float64)
+    pfx = pdf["prefix_eq"].to_numpy(dtype=np.float64)
+    lratio = pdf["len_ratio"].to_numpy(dtype=np.float64)
 
     # GCN over the block graph (both directions)
     hf = _node_features(pd.Series(surfaces))

@@ -46,8 +46,10 @@ def link_entities(mentions: DataFrame, types: tuple[str, ...] = ("BRAND",)) -> D
         "surface",
         F.coalesce("component", "sid").alias("entity_id"),
     )
+    # plain join — canon is O(entities), too big to force-broadcast at
+    # corpus scale; AQE broadcasts it when it fits
     canon = linked.groupBy("entity_id").agg(F.min("surface").alias("canonical_surface"))
-    return linked.join(F.broadcast(canon), "entity_id").select(
+    return linked.join(canon, "entity_id").select(
         "surface", "entity_id", "canonical_surface"
     )
 
@@ -66,6 +68,8 @@ def alias_triples(entity_map: DataFrame) -> DataFrame:
 
 
 def entity_resolved_mentions(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
-    """Mentions with entity columns attached (broadcast join: the entity map
-    is distinct-surface-sized, tiny next to the mention stream)."""
-    return mentions.join(F.broadcast(entity_map), "surface", "left")
+    """Mentions with entity columns attached.  The entity map is
+    distinct-surface-sized — orders of magnitude smaller than the mention
+    stream but not guaranteed broadcast-small at 10^12 turns, so leave the
+    strategy to AQE (it broadcasts when the map fits)."""
+    return mentions.join(entity_map, "surface", "left")
