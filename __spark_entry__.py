@@ -22,7 +22,11 @@ from kie_invoice_minimal_spark.operators import similarity as SS
 from kie_invoice_minimal_spark.operators import text_analysis as TA
 from kie_invoice_minimal_spark.operators.connected_components import connected_components
 from kie_invoice_minimal_spark.operators.mention_detect import detect_mentions_arrow
-from kie_invoice_minimal_spark.plans.entity_linking import alias_triples, link_entities
+from kie_invoice_minimal_spark.plans.entity_linking import (
+    alias_triples,
+    canonical_triples,
+    link_entities,
+)
 from kie_invoice_minimal_spark.plans.pipeline import extract_triples_df
 from kie_invoice_minimal_spark.sources.transcripts import transcripts_from_documents
 
@@ -60,6 +64,12 @@ def _el_alias_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alias_triples(link_entities(_brand_mentions(spark, sf_dir)))
 
 
+def _kg_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    emap = link_entities(m.filter(F.col("mention_type") == "BRAND"))
+    return canonical_triples(m, emap)
+
+
 def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = R.e2_band_self_join(spark, sf_dir)
     edges = pairs.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
@@ -88,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entity linking + canonicalization (SURVEY.md §2.6/§2.7, Stage 3+4)
         "el_entity_map": _el_entity_map,
         "el_alias_triples": _el_alias_triples,
+        "kg_triples_canonical": _kg_triples_canonical,
         "cc_event_pairs": _cc_event_pairs,
         # text analysis (training-data pipeline)
         "ta_token_stats": TA.ta_token_stats,
@@ -143,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "g6_stratified_split": R.G6_SQL,
         "el_entity_map": duckdb_oracle.entity_map_sql(),
         "el_alias_triples": duckdb_oracle.alias_triples_sql(),
+        "kg_triples_canonical": duckdb_oracle.canonical_triples_sql(),
         "cc_event_pairs": duckdb_oracle.cc_over_band_pairs_sql(R.E2_SQL),
         "ta_token_stats": TA.TA_TOKEN_STATS_SQL,
         "ta_quality_score": TA.TA_QUALITY_SQL,

@@ -148,3 +148,29 @@ FROM lab WHERE mention_type != 'OTHER'
 GROUP BY conv_id, mention_type
 """
     )
+
+
+def canonical_triples_sql(keys_sql: str = "SELECT doc_id AS k FROM documents") -> str:
+    """Twin of plans/entity_linking.canonical_triples: BRAND surfaces are
+    rewritten to their normalized-group canonical before triple concat."""
+    norm = NORM_SQL.format(col="surface")
+    return (
+        _classified_tokens_cte(keys_sql)
+        + f"""
+, brands AS (SELECT DISTINCT surface FROM lab WHERE mention_type = 'BRAND')
+, normed AS (SELECT surface, {norm} AS norm FROM brands)
+, emap AS (
+    SELECT n.surface, m.canonical_surface
+    FROM normed n
+    JOIN (SELECT norm, min(surface) AS canonical_surface FROM normed GROUP BY norm) m
+      USING (norm)
+)
+SELECT conv_id AS subj, mention_type AS pred,
+       string_agg(coalesce(e.canonical_surface, l.surface), ' '
+                  ORDER BY turn_idx, pos) AS obj,
+       conv_id
+FROM lab l LEFT JOIN emap e ON l.surface = e.surface
+WHERE mention_type != 'OTHER'
+GROUP BY conv_id, mention_type
+"""
+    )

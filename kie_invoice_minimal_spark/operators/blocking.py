@@ -26,8 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-N_HASHES = 12  # minhash signature length
-N_BANDS = 4  # bands of r = N_HASHES / N_BANDS rows
+# 8 bands x 2 rows: candidate recall at Jaccard 0.65 is ~0.99 (4 bands x 3
+# rows missed ~27% of true near-pairs at that similarity — measured on the
+# 15k-surface stress run)
+N_HASHES = 16  # minhash signature length
+N_BANDS = 8  # bands of r = N_HASHES / N_BANDS rows
 ROWS_PER_BAND = N_HASHES // N_BANDS
 SHINGLE_K = 3
 MAX_BLOCK_SIZE = 50  # candidate blocks larger than this are dropped (counted)

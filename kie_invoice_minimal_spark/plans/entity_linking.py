@@ -67,6 +67,21 @@ def alias_triples(entity_map: DataFrame) -> DataFrame:
     )
 
 
+def canonical_triples(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
+    """Conversation triples with entity-linked surfaces rewritten to their
+    canonical form — the KG output after alias resolution (north star:
+    'resolve cross-conversation aliases ... materialize triple tables').
+
+    Non-linked mention types keep their raw surfaces.
+    """
+    from ..operators.triples import materialize_triples
+
+    resolved = mentions.join(
+        entity_map.select("surface", "canonical_surface"), "surface", "left"
+    ).withColumn("surface", F.coalesce("canonical_surface", "surface"))
+    return materialize_triples(resolved.drop("canonical_surface"))
+
+
 def entity_resolved_mentions(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
     """Mentions with entity columns attached.  The entity map is
     distinct-surface-sized — orders of magnitude smaller than the mention

@@ -155,3 +155,33 @@ def test_cc_random_graph_vs_union_find(spark):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == want_assign
+
+
+def test_linking_at_cardinality(spark):
+    """Linking quality holds at non-toy cardinality: 3k surfaces / 1k alias
+    groups of random names — near-total group recovery, near-zero merges."""
+    import random
+    import string
+    from collections import defaultdict
+
+    rng = random.Random(7)
+    rows, truth = [], {}
+    for g in range(1000):
+        base = "".join(rng.choice(string.ascii_lowercase) for _ in range(9))
+        for v in [base.capitalize(), base.upper(), base + "-co"]:
+            rows.append((f"c{g % 97}", g % 7, 0, 0, len(v), v, "BRAND"))
+            truth[v] = g
+    m = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, pos int, span_start int, span_end int,"
+        " surface string, mention_type string",
+    )
+    emap = {r.surface: r.entity_id for r in link_entities(m).collect()}
+    by_group, ent_groups = defaultdict(set), defaultdict(set)
+    for s, gid in truth.items():
+        by_group[gid].add(emap[s])
+        ent_groups[emap[s]].add(gid)
+    split = sum(1 for v in by_group.values() if len(v) > 1)
+    merged = sum(1 for v in ent_groups.values() if len(v) > 1)
+    assert split <= 50, split   # <= 5% LSH miss tolerance
+    assert merged <= 10, merged  # <= 1% false-merge tolerance
