@@ -319,12 +319,14 @@ S3_SQL = _s3_sql()
 def g5_turn_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    t = transcripts_from_documents(spark, sf_dir)
+    from .turn_order import ordered_turns
+
+    t = ordered_turns(transcripts_from_documents(spark, sf_dir))
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
     return t.select(
         "conv_id",
         "turn_idx",
-        F.row_number().over(w).cast("int").alias("turn_rank"),
+        F.col("turn_rank").cast("int").alias("turn_rank"),
         F.lag("role").over(w).alias("prev_role"),
     )
 

@@ -76,8 +76,8 @@ def canonical_triples(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
     """
     from ..operators.triples import materialize_triples
 
-    resolved = mentions.join(
-        entity_map.select("surface", "canonical_surface"), "surface", "left"
+    resolved = entity_resolved_mentions(
+        mentions, entity_map.select("surface", "canonical_surface")
     ).withColumn("surface", F.coalesce("canonical_surface", "surface"))
     return materialize_triples(resolved.drop("canonical_surface"))
 

@@ -141,7 +141,7 @@ def kg_pipeline(
 ) -> CheckpointedPipeline:
     """The flagship staged pipeline: transcripts -> mentions -> entity_map ->
     triples (conversation triples ∪ alias triples)."""
-    from ..operators.mention_detect import detect_mentions_arrow
+    from ..operators.mention_detect import detect_mentions_arrow, with_mention_id
     from ..operators.triples import materialize_triples
     from ..plans.entity_linking import alias_triples, link_entities
 
@@ -149,7 +149,9 @@ def kg_pipeline(
         return transcripts_provider(sp)
 
     def s_mentions(sp, up):
-        return detect_mentions_arrow(up["transcripts"])
+        # persisted mentions carry the stable 64-bit id (join-stable lineage
+        # key across resumes)
+        return with_mention_id(detect_mentions_arrow(up["transcripts"]))
 
     def s_entity_map(sp, up):
         return link_entities(up["mentions"])

@@ -69,3 +69,24 @@ def test_salt_spreads_hot_subject(spark):
     buckets = keyed.select("subj_bucket").distinct().count()
     assert buckets == 1  # one subject -> one bucket
     assert salts > 1  # ...but many salts within it
+
+
+def test_triple_write_partition_pruning(spark, tmp_path):
+    """The (pred, subj_bucket) layout prunes at read time: a pred filter
+    touches only that predicate's files."""
+    from pyspark.sql import functions as F
+
+    from kie_invoice_minimal_spark.operators.triples import write_triples
+    from kie_invoice_minimal_spark.plans.pipeline import extract_triples_df
+    from kie_invoice_minimal_spark.sources.transcripts import synth_transcripts
+
+    out = str(tmp_path / "triples")
+    write_triples(extract_triples_df(synth_transcripts(spark, 300)), out)
+    back = spark.read.parquet(out).filter(F.col("pred") == "BRAND")
+    files = {
+        r.f for r in back.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files and all("pred=BRAND" in f for f in files)
+    # pushdown visible in the plan: partition filter, not a post-scan filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "pred=BRAND" in str(files)
