@@ -90,3 +90,19 @@ def test_triple_write_partition_pruning(spark, tmp_path):
     # pushdown visible in the plan: partition filter, not a post-scan filter
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "pred=BRAND" in str(files)
+
+
+def test_golden_file_triples(spark):
+    """Frozen golden triples (committed file): guards against the pipeline
+    AND the oracle drifting together across refactors."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden_triples_100.json")
+    with open(path) as f:
+        golden = {tuple(x) for x in json.load(f)}
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in extract_triples_df(synth_transcripts(spark, 100)).collect()
+    }
+    assert got == golden
