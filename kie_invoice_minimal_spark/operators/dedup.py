@@ -77,35 +77,51 @@ list_distinct(list_transform(
 """
 
 
-def _hash_fn(i: int):
-    """The i-th MinHash function as a single-arg lambda (a two-arg lambda
-    would make transform() bind the array index to the second parameter)."""
-    prefix = f"{i}|"
-    return lambda g: mdhash_spark(F.concat(F.lit(prefix), g))
+# One md5 per shingle + K affine transforms h_i = (a_i * base + b_i) mod P.
+# P = 2^31 - 1 keeps every product under 2^62: portable (DuckDB BIGINT
+# overflow errors; Java long would silently wrap — neither happens).
+_MH_P = (1 << 31) - 1
+_MH_A = [2 * i + 3 for i in range(16)]  # odd multipliers, deterministic
+_MH_B = [7919 * (i + 1) % _MH_P for i in range(16)]
+
+
+def _base_hashes(sh_col: str = "sh"):
+    """array<long> of (md5 % P) per shingle — the single hash pass."""
+    return F.transform(sh_col, lambda g: mdhash_spark(g) % _MH_P)
 
 
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature over token 3-gram shingles (md5-portable)."""
-    d = _docs(spark, sf_dir).withColumn("sh", _tok_shingles(F.col("text")))
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("sh", _tok_shingles(F.col("text")))
+        .withColumn("hb", _base_hashes())
+    )
+
+    def _affine(i: int):
+        a, b = _MH_A[i], _MH_B[i]
+        return lambda h: (h * a + b) % _MH_P
+
     sig = [
-        F.array_min(F.transform("sh", _hash_fn(i))).alias(f"mh_{i}")
+        F.array_min(F.transform("hb", _affine(i))).alias(f"mh_{i}")
         for i in range(MINHASH_K)
     ]
     return d.select("doc_id", *sig)
 
 
 def _minhash_sig_sql() -> str:
+    base = MDHASH_SQL("g")
     sig = ",\n       ".join(
-        "list_min(list_transform(sh, g -> "
-        + MDHASH_SQL(f"concat('{i}|', g)")
-        + f")) AS mh_{i}"
+        f"list_min(list_transform(hb, h -> (h * {_MH_A[i]} + {_MH_B[i]}) % {_MH_P}))"
+        f" AS mh_{i}"
         for i in range(MINHASH_K)
     )
     return f"""
-WITH sh_t AS (SELECT doc_id, {_TOK_SHINGLES_SQL} AS sh FROM documents)
+WITH sh_t AS (SELECT doc_id, {_TOK_SHINGLES_SQL} AS sh FROM documents),
+hb_t AS (SELECT doc_id, list_transform(sh, g -> {base} % {_MH_P}) AS hb FROM sh_t)
 SELECT doc_id,
        {sig}
-FROM sh_t
+FROM hb_t
 """
 
 
