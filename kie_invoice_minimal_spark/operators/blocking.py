@@ -76,16 +76,22 @@ def surface_signatures(mentions: DataFrame, surface_col: str = "surface") -> Dat
         .withColumn("norm", normalize_surface(F.col("surface")))
         .withColumn("grams", shingles(F.col("norm")))
     )
-    # minhash_i = min over grams of xxhash64(i || gram); then band_j = hash of
-    # the j-th signature slice.  array_min over a transform keeps it narrow.
+    # minhash_i = min over grams of the i-th affine transform of ONE base
+    # hash per gram (h_i = (a_i*h + b_i) mod P) — one hash pass, K cheap
+    # arithmetic passes.  P = 2^31-1 keeps products overflow-safe.
     # NB: single-arg lambdas only — a two-arg lambda makes transform() bind
     # the array index to the second parameter.
+    P = (1 << 31) - 1
+    surf = surf.withColumn(
+        "hb", F.transform("grams", lambda g: F.pmod(F.xxhash64(g), F.lit(P)))
+    )
+
     def _mh(i: int):
-        prefix = f"{i}|"
-        return lambda g: F.xxhash64(F.concat(F.lit(prefix), g))
+        a, b = 2 * i + 3, (7919 * (i + 1)) % P
+        return lambda h: (h * a + b) % P
 
     sig_cols = [
-        F.array_min(F.transform("grams", _mh(i))).alias(f"mh_{i}")
+        F.array_min(F.transform("hb", _mh(i))).alias(f"mh_{i}")
         for i in range(N_HASHES)
     ]
     surf = surf.select("surface", "norm", "grams", *sig_cols)
