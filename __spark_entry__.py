@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kie_invoice_minimal_spark.functions import duckdb_oracle
+from kie_invoice_minimal_spark.operators import asof_join as AJ
 from kie_invoice_minimal_spark.operators import dedup as DD
 from kie_invoice_minimal_spark.operators import multimodal as MM
 from kie_invoice_minimal_spark.operators import relational as R
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_merge_conversations": RX.g5_merge_conversations,
         "g4_realign_semi_join": RX.g4_realign_semi_join,
         "setop_split_check": RX.setop_split_check,
+        "asof_click_after_view": AJ.asof_click_after_view,
     }
 
 
@@ -187,4 +189,5 @@ def oracle_sql() -> dict[str, str]:
         "g5_merge_conversations": RX.g5_merge_sql(),
         "g4_realign_semi_join": RX.g4_sql(),
         "setop_split_check": RX.SETOP_SQL,
+        "asof_click_after_view": AJ.ASOF_SQL,
     }

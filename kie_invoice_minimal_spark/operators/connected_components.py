@@ -105,8 +105,9 @@ def connected_components(edges: DataFrame) -> DataFrame:
 
     prev_fp = None
     for _ in range(MAX_ROUNDS):
-        cur = _large_star(cur).localCheckpoint()
-        cur = _small_star(cur).localCheckpoint()
+        # one checkpoint per round: the intra-round lineage (one star op) is
+        # shallow; checkpointing after each star doubled materialization cost
+        cur = _small_star(_large_star(cur)).localCheckpoint()
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break

@@ -61,6 +61,23 @@ def streaming_label_counts(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def streaming_session_counts(transcripts: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-windowed per-conversation turn counts: a session closes after
+    ``gap`` of inactivity on ``ts`` (SURVEY §2.9's streaming extension —
+    session windows per conv_id with a watermark)."""
+    return (
+        transcripts.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, input_dir: str, checkpoint_dir: str, name: str = "label_counts"
 ):

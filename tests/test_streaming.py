@@ -74,3 +74,41 @@ def test_stateful_conversation_state(spark, tmp_path):
         c: (tstats[c][0], mcounts.get(c, 0), tstats[c][1]) for c in tstats
     }
     assert got == want
+
+
+def test_session_windows(spark, tmp_path):
+    """Session windows close after the inactivity gap; counts match batch."""
+    from kie_invoice_minimal_spark.streaming.stream_pipeline import (
+        read_transcript_stream,
+        streaming_session_counts,
+    )
+
+    in_dir = str(tmp_path / "in3")
+    ckpt = str(tmp_path / "ckpt3")
+    t = synth_transcripts(spark, 300)
+    t.write.mode("append").parquet(in_dir)
+
+    q = (
+        streaming_session_counts(read_transcript_stream(spark, in_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.conv_id, r.session_start, r.session_end): r.n_turns
+            for r in spark.sql("SELECT * FROM sess_test").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = (
+        t.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "conv_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    want = {(r.conv_id, r.sw.start, r.sw.end): r.n for r in batch}
+    assert got == want and len(got) > 0
