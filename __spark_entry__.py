@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ss_topk_bruteforce": SS.ss_topk_bruteforce,
         "ss_lsh_buckets": SS.ss_lsh_buckets,
         "ss_lsh_ann": SS.ss_lsh_ann,
+        "ss_ivf_ann": SS.ss_ivf_ann,
         # multimodal plumbing (stubbed decode, real Arrow pipeline)
         "mm_decode_metadata": MM.mm_decode_metadata,
         "mm_frame_sample": MM.mm_frame_sample,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "ss_topk_bruteforce": SS.SS_TOPK_SQL,
         "ss_lsh_buckets": SS.SS_LSH_BUCKETS_SQL,
         "ss_lsh_ann": SS.SS_LSH_ANN_SQL,
+        "ss_ivf_ann": SS.SS_IVF_ANN_SQL,
         "mm_decode_metadata": MM.MM_DECODE_SQL,
         "mm_frame_sample": MM.MM_FRAME_SAMPLE_SQL,
         "r3_text_encode": RX.R3_SQL,

@@ -154,6 +154,82 @@ def ss_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def ss_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a training-free coarse quantizer (the first
+    N_CENTROIDS vectors are the centroids), every vector assigned to its
+    max-cosine cell, queries probe the N_PROBE nearest cells and run exact
+    top-k inside them.  All joins are equi-joins on cell id; the full scan
+    is replaced by |probed cells| / N_CENTROIDS of the corpus."""
+    e = _emb(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", _cos(F.col("v"), F.col("cv")).alias("csim")
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = scored.withColumn("crank", F.row_number().over(wcell))
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "v", "cid")
+    probes = ranked.filter(
+        (F.col("crank") <= N_PROBE) & (F.pmod("vec_id", F.lit(QUERY_MOD)) == 0)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    cand = probes.join(assign, "cid").filter(F.col("vec_id") != F.col("query_id"))
+    out = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("qv"), F.col("v")).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+_COS_SQL = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+)
+
+SS_IVF_ANN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.v, c.cid,
+         {_COS_SQL.format(a='e.v', b='c.cv')} AS csim
+  FROM e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
+  FROM scored
+),
+assign AS (SELECT vec_id, v, cid FROM ranked WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM ranked
+  WHERE crank <= {N_PROBE} AND vec_id % {QUERY_MOD} = 0
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='a.v')} AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {TOP_K}
+"""
+
+
 SS_LSH_ANN_SQL = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
