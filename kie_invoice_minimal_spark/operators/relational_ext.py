@@ -458,6 +458,6 @@ def rollup_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLUP_SQL = """
 SELECT coalesce(lang, '<all>') AS lang,
        coalesce(source, '<all>') AS source,
-       count(*) AS n_docs, sum(n_chars) AS total_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP(lang, source)
 """
