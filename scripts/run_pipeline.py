@@ -28,7 +28,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kie_invoice_minimal_spark.plans.entity_linking import alias_triples, link_entities  # noqa: E402
-from kie_invoice_minimal_spark.plans.pipeline import extract_triples_df  # noqa: E402
 from kie_invoice_minimal_spark.operators.mention_detect import detect_mentions_arrow, detect_mentions_native  # noqa: E402
 from kie_invoice_minimal_spark.operators.triples import materialize_triples, write_triples  # noqa: E402
 from kie_invoice_minimal_spark.session import get_spark  # noqa: E402
