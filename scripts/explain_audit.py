@@ -40,12 +40,12 @@ def plan_of(df) -> str:
 def audit(name: str, plan: str) -> list[str]:
     flags = []
     n_exchange = len(re.findall(r"\bExchange\b", plan))
-    n_codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
+    n_arrow = len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
     if "BatchEvalPython" in plan:
         flags.append("ROW-AT-A-TIME PYTHON UDF (BatchEvalPython) — forbidden")
     if re.search(r"ReadSchema: struct<.{400,}", plan):
         flags.append("very wide scan — check column pruning")
-    flags.append(f"exchanges={n_exchange} codegen_spans={n_codegen}")
+    flags.append(f"exchanges={n_exchange} arrow_python_ops={n_arrow}")
     return flags
 
 
