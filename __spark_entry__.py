@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_realign_semi_join": RX.g4_realign_semi_join,
         "setop_split_check": RX.setop_split_check,
         "asof_click_after_view": AJ.asof_click_after_view,
+        "stats_percentiles": RX.stats_percentiles,
+        "w_ntile_lag": RX.w_ntile_lag,
+        "cube_doc_stats": RX.cube_doc_stats,
     }
 
 
@@ -192,4 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "g4_realign_semi_join": RX.g4_sql(),
         "setop_split_check": RX.SETOP_SQL,
         "asof_click_after_view": AJ.ASOF_SQL,
+        "stats_percentiles": RX.PERCENTILES_SQL,
+        "w_ntile_lag": RX.W_NTILE_SQL,
+        "cube_doc_stats": RX.CUBE_SQL,
     }

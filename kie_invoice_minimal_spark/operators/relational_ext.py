@@ -461,3 +461,75 @@ SELECT coalesce(lang, '<all>') AS lang,
        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP(lang, source)
 """
+
+
+# --- percentiles (exact, interpolated) -------------------------------------------
+
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile() and
+    DuckDB quantile_cont share the continuous definition)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- window analytics: ntile + lag/lead -------------------------------------------
+
+def w_ntile_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.col("value"), F.col("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(wd).cast("int").alias("value_quartile"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+W_NTILE_SQL = """
+SELECT user_id, event_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS INTEGER)
+         AS value_quartile,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+"""
+
+
+# --- CUBE over two dims -------------------------------------------------------------
+
+def cube_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.cube("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*) AS n_docs
+FROM documents GROUP BY CUBE(lang, source)
+"""

@@ -47,6 +47,10 @@ def main() -> None:
                     help="skip the small untimed warmup run (codegen + python workers)")
     ap.add_argument("--repeats", type=int, default=1,
                     help="time the job N times, report the minimum (steady state)")
+    ap.add_argument("--checkpoint-root",
+                    help="run the staged checkpointed pipeline (transcripts -> "
+                         "mentions -> entity_map -> triples) rooted here; "
+                         "re-running resumes from completed snapshots")
     args = ap.parse_args()
 
     spark = get_spark(app_name="kg-pipeline", master=args.master)
@@ -60,6 +64,29 @@ def main() -> None:
         ap.error("need --input or --synth")
 
     detect = detect_mentions_arrow if args.engine == "arrow" else detect_mentions_native
+
+    if args.checkpoint_root:
+        from kie_invoice_minimal_spark.sources.checkpoints import kg_pipeline
+
+        t0 = time.time()
+        pipe = kg_pipeline(spark, args.checkpoint_root, lambda sp: transcripts)
+        out = pipe.run(resume=True)
+        n_triples = out["triples"].count()
+        print(
+            json.dumps(
+                {
+                    "mode": "checkpointed",
+                    "engine": "arrow",
+                    "n_triples": n_triples,
+                    "wall_sec": round(time.time() - t0, 3),
+                    "stages": [
+                        {k: m[k] for k in ("stage", "n_rows", "n_partitions")}
+                        for m in pipe.metrics()
+                    ],
+                }
+            )
+        )
+        return
 
     if not args.no_warmup:
         # untimed warmup: compiles the whole-stage codegen, spawns + imports
