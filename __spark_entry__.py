@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_percentiles": RX.stats_percentiles,
         "w_ntile_lag": RX.w_ntile_lag,
         "cube_doc_stats": RX.cube_doc_stats,
+        "tpch_q1_pricing": RX.tpch_q1_pricing,
+        "o3_confusion_pivot": RX.o3_confusion_pivot,
+        "unpivot_readout": RX.unpivot_readout,
+        "approx_stats": RX.approx_stats,  # sketches: rows-only (no oracle)
     }
 
 
@@ -198,4 +202,8 @@ def oracle_sql() -> dict[str, str]:
         "stats_percentiles": RX.PERCENTILES_SQL,
         "w_ntile_lag": RX.W_NTILE_SQL,
         "cube_doc_stats": RX.CUBE_SQL,
+        "tpch_q1_pricing": RX.TPCH_Q1_SQL,
+        "o3_confusion_pivot": RX.O3_PIVOT_SQL,
+        "unpivot_readout": RX.UNPIVOT_SQL,
+        # approx_stats intentionally has no oracle (sketch internals differ)
     }

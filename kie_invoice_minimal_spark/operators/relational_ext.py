@@ -533,3 +533,125 @@ SELECT coalesce(lang, '<all>') AS lang,
        count(*) AS n_docs
 FROM documents GROUP BY CUBE(lang, source)
 """
+
+
+# --- TPC-H Q1-style pricing summary (exact decimal arithmetic) ---------------------
+
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic groupBy-many-aggs report; money sums in exact cents so
+    summation order can't move the hash."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.sum(F.round(F.col(c) * 100).cast("bigint"))  # noqa: E731
+    qty = F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (qty / 100.0).alias("sum_qty"),
+            (cents("l_extendedprice") / 100.0).alias("sum_base_price"),
+            (F.floor(qty * 100.0 / n) / 10000.0).alias("avg_qty"),
+            (F.floor(cents("l_extendedprice") * 100.0 / n) / 10000.0).alias("avg_price"),
+            (F.floor(cents("l_discount") * 100.0 / n) / 10000.0).alias("avg_disc"),
+            n.cast("bigint").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       floor(sum(CAST(round(l_quantity * 100) AS BIGINT)) * 100.0 / count(*)) / 10000.0 AS avg_qty,
+       floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100.0 / count(*)) / 10000.0 AS avg_price,
+       floor(sum(CAST(round(l_discount * 100) AS BIGINT)) * 100.0 / count(*)) / 10000.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- pivot (wide confusion matrix) ---------------------------------------------------
+
+def o3_confusion_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = F.when(
+        (F.array_max("embedding") >= F.lit(0.5))
+        & (F.array_position("embedding", F.array_max("embedding")) != F.lit(1)),
+        F.array_position("embedding", F.array_max("embedding")) - 1,
+    ).otherwise(F.lit(0)).cast("int")
+    p = emb.select(F.col("label").alias("gold"), pred.alias("pred"))
+    out = p.groupBy("gold").pivot("pred", list(range(10))).count().na.fill(0)
+    return out.select(
+        "gold", *[F.col(str(i)).cast("bigint").alias(f"pred_{i}") for i in range(10)]
+    )
+
+
+def _pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN pred = {i} THEN 1 ELSE 0 END) AS BIGINT) AS pred_{i}"
+        for i in range(10)
+    )
+    return f"""
+WITH p AS (
+  SELECT label AS gold,
+         CAST(CASE WHEN list_max(embedding) >= 0.5
+                    AND list_position(embedding, list_max(embedding)) != 1
+               THEN list_position(embedding, list_max(embedding)) - 1
+               ELSE 0 END AS INTEGER) AS pred
+  FROM embeddings
+)
+SELECT gold,
+       {cols}
+FROM p GROUP BY gold
+"""
+
+
+O3_PIVOT_SQL = _pivot_sql()
+
+
+# --- unpivot (wide -> long) ------------------------------------------------------------
+
+def unpivot_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the per-customer readout aggregates into (key, metric, value)."""
+    from .relational import a6_readout
+
+    wide = a6_readout(spark, sf_dir)
+    return wide.unpivot(
+        "o_custkey",
+        ["sum_price", "max_price", "avg_price"],
+        "metric",
+        "value",
+    ).select("o_custkey", "metric", F.round("value", 4).alias("value"))
+
+
+def _unpivot_sql() -> str:
+    from .relational import A6_SQL
+
+    return f"""
+WITH wide AS ({A6_SQL.strip()})
+SELECT o_custkey, metric, round(value, 4) AS value FROM (
+  SELECT o_custkey, 'sum_price' AS metric, sum_price AS value FROM wide
+  UNION ALL SELECT o_custkey, 'max_price', max_price FROM wide
+  UNION ALL SELECT o_custkey, 'avg_price', avg_price FROM wide
+)
+"""
+
+
+UNPIVOT_SQL = _unpivot_sql()
+
+
+# --- approximate sketches (no exact oracle by nature: rows-only check) ------------------
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + t-digest quantiles — the sketch toolkit for 100 TB
+    profiling.  Sketch internals differ across engines, so this query has
+    no DuckDB oracle (driver records a rows-only check); a pytest bounds
+    the estimates against exact values instead."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").cast("bigint").alias("approx_users"),
+        F.round(F.expr("percentile_approx(value, 0.5)"), 2).alias("approx_p50"),
+        F.count("*").cast("bigint").alias("n"),
+    )
