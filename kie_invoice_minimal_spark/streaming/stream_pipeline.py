@@ -78,6 +78,26 @@ def streaming_session_counts(transcripts: DataFrame, gap: str = "30 minutes") ->
     )
 
 
+def run_mentions_to_parquet(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """Continuous mention extraction into a parquet table via foreachBatch —
+    the exactly-once sink pattern: each micro-batch writes to an
+    epoch-suffixed directory first (idempotent on retry: same epoch
+    overwrites itself), which on a real deployment is an Iceberg
+    MERGE/append inside the same closure."""
+    mentions = streaming_mentions(read_transcript_stream(spark, input_dir))
+
+    def sink(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        mentions.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, input_dir: str, checkpoint_dir: str, name: str = "label_counts"
 ):

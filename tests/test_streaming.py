@@ -112,3 +112,35 @@ def test_session_windows(spark, tmp_path):
     )
     want = {(r.conv_id, r.sw.start, r.sw.end): r.n for r in batch}
     assert got == want and len(got) > 0
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """Exactly-once-style sink: streamed mentions across epochs equal the
+    batch extraction; epoch dirs are idempotent units."""
+    from kie_invoice_minimal_spark.operators.mention_detect import detect_mentions_arrow
+    from kie_invoice_minimal_spark.streaming.stream_pipeline import (
+        run_mentions_to_parquet,
+    )
+
+    in_dir = str(tmp_path / "in4")
+    out_dir = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ckpt4")
+    t = synth_transcripts(spark, 300)
+    t.filter("turn_idx < 2").write.mode("append").parquet(in_dir)
+    t.filter("turn_idx >= 2").write.mode("append").parquet(in_dir)
+
+    q = run_mentions_to_parquet(spark, in_dir, out_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.pos, r.surface, r.mention_type)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.pos, r.surface, r.mention_type)
+        for r in detect_mentions_arrow(t).collect()
+    )
+    assert got == want and len(got) > 0
