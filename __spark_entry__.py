@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_lsh_pairs": DD.dd_minhash_lsh_pairs,
         "dd_simhash": DD.dd_simhash,
         "dd_ngram_jaccard": DD.dd_ngram_jaccard,
+        "dd_lsh_verified_dups": DD.dd_lsh_verified_dups,
         "dd_embedding_cosine": DD.dd_embedding_cosine,
         # similarity search
         "ss_topk_bruteforce": SS.ss_topk_bruteforce,
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_lsh_pairs": DD.DD_MINHASH_LSH_SQL,
         "dd_simhash": DD.DD_SIMHASH_SQL,
         "dd_ngram_jaccard": DD.DD_NGRAM_JACCARD_SQL,
+        "dd_lsh_verified_dups": DD.DD_LSH_VERIFIED_SQL,
         "dd_embedding_cosine": DD.DD_EMBEDDING_COSINE_SQL,
         "ss_topk_bruteforce": SS.SS_TOPK_SQL,
         "ss_lsh_buckets": SS.SS_LSH_BUCKETS_SQL,

@@ -81,11 +81,15 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame) -> DataFrame:
+def connected_components(edges: DataFrame, stats: dict | None = None) -> DataFrame:
     """Edge list (u:long, v:long) -> assignments (node:long, component:long),
     component = min node id of the component.  Covers every node appearing
     in the edge list; singletons (no edges) are their own component by
     definition and need no row here.
+
+    If ``stats`` is passed, it is filled with counter metrics
+    (rounds, final_edges, input_edges, nodes) — the per-stage counters the
+    north rule asks the pipeline to report.
     """
     spark = edges.sparkSession
     cur = (
@@ -103,15 +107,24 @@ def connected_components(edges: DataFrame) -> DataFrame:
     if cur.isEmpty():
         return spark.createDataFrame([], "node long, component long")
 
+    if stats is not None:
+        stats["input_edges"] = cur.count()
+        stats["nodes"] = nodes.count()
+
     prev_fp = None
+    rounds = 0
     for _ in range(MAX_ROUNDS):
         # one checkpoint per round: the intra-round lineage (one star op) is
         # shallow; checkpointing after each star doubled materialization cost
         cur = _small_star(_large_star(cur)).localCheckpoint()
+        rounds += 1
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break
         prev_fp = fp
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["final_edges"] = prev_fp[0] if prev_fp else 0
 
     # converged: edges form stars (node -> root).  A node may briefly list
     # several candidate roots; take the min, then close one level (root of

@@ -349,3 +349,47 @@ p AS (
 )
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {COSINE_THS}
 """
+
+
+# --- the production cascade: LSH candidates -> exact Jaccard verify -----------------
+
+def dd_lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path near-dup operator: MinHash-LSH candidate generation
+    (sub-quadratic) followed by exact Jaccard verification at JACCARD_THS.
+    Contract: may miss pairs whose signatures never collide (P(miss) at
+    J=0.5 with 4x2 bands documented in blocking.py terms) — the price of
+    never materializing the quadratic pair space."""
+    cand = dd_minhash_lsh_pairs(spark, sf_dir)
+    sh = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_sort(
+            F.transform(_tok_shingles(F.col("text")), lambda g: mdhash_spark(g))
+        ).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return j.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THS
+    )
+
+
+DD_LSH_VERIFIED_SQL = f"""
+WITH cand AS ({DD_MINHASH_LSH_SQL.strip()}),
+sh_t AS (
+  SELECT doc_id,
+         list_sort(list_transform({_TOK_SHINGLES_SQL}, g -> {MDHASH_SQL('g')})) AS sh
+  FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM cand c JOIN sh_t a ON a.doc_id = c.doc_a JOIN sh_t b ON b.doc_id = c.doc_b
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      >= {JACCARD_THS}
+"""
