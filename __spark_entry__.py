@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_confusion_pivot": RX.o3_confusion_pivot,
         "unpivot_readout": RX.unpivot_readout,
         "approx_stats": RX.approx_stats,  # sketches: rows-only (no oracle)
+        "sessionize_events": RX.sessionize_events,
+        "topk_orders_per_cust": RX.topk_orders_per_cust,
+        "el_levenshtein_pairs": RX.el_levenshtein_pairs,
     }
 
 
@@ -208,4 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "o3_confusion_pivot": RX.O3_PIVOT_SQL,
         "unpivot_readout": RX.UNPIVOT_SQL,
         # approx_stats intentionally has no oracle (sketch internals differ)
+        "sessionize_events": RX.SESSIONIZE_SQL,
+        "topk_orders_per_cust": RX.TOPK_SQL,
+        "el_levenshtein_pairs": RX.el_levenshtein_sql(),
     }

@@ -655,3 +655,122 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile_approx(value, 0.5)"), 2).alias("approx_p50"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+# --- batch sessionization (lag + gap cumsum) ------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic batch sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds 30 min; session_id = cumsum
+    of the new-session flags.  One window chain, no Python."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("ns", new_sess)
+        .withColumn(
+            "session_no",
+            F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flags AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS ns
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_no
+  FROM flags
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+# --- explicit top-K per group -----------------------------------------------------------
+
+def topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rk").cast("int").alias("rk"), "o_totalprice")
+    )
+
+
+TOPK_SQL = """
+SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+# --- Levenshtein near-dup over distinct linked surfaces ---------------------------------
+
+def el_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup over the distinct BRAND surfaces — the string
+    metric complementing Jaccard; pair space is distinct-surface-sized."""
+    from .blocking import normalize_surface
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    s = (
+        m.filter(F.col("mention_type") == "BRAND")
+        .select("surface")
+        .distinct()
+        # distance on the ASCII-normalized form: Spark counts codepoints but
+        # DuckDB counts bytes, so multi-byte chars would diverge
+        .withColumn("norm", normalize_surface(F.col("surface")))
+    )
+    a = s.select(F.col("surface").alias("surface_a"), F.col("norm").alias("na"))
+    b = s.select(F.col("surface").alias("surface_b"), F.col("norm").alias("nb"))
+    return (
+        a.join(b, F.col("surface_a") < F.col("surface_b"))
+        .withColumn("edit_dist", F.levenshtein("na", "nb").cast("int"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("surface_a", "surface_b", "edit_dist")
+    )
+
+
+def el_levenshtein_sql() -> str:
+    return (
+        duckdb_oracle._classified_tokens_cte("SELECT doc_id AS k FROM documents")
+        + f"""
+, s AS (SELECT DISTINCT surface, {duckdb_oracle.NORM_SQL.format(col='surface')} AS norm
+       FROM lab WHERE mention_type = 'BRAND')
+SELECT a.surface AS surface_a, b.surface AS surface_b,
+       CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS edit_dist
+FROM s a JOIN s b ON a.surface < b.surface
+WHERE levenshtein(a.norm, b.norm) <= 3
+"""
+    )
