@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": RX.sessionize_events,
         "topk_orders_per_cust": RX.topk_orders_per_cust,
         "el_levenshtein_pairs": RX.el_levenshtein_pairs,
+        "interval_overlap_join": RX.interval_overlap_join,
     }
 
 
@@ -214,4 +215,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": RX.SESSIONIZE_SQL,
         "topk_orders_per_cust": RX.TOPK_SQL,
         "el_levenshtein_pairs": RX.el_levenshtein_sql(),
+        "interval_overlap_join": RX.INTERVAL_OVERLAP_SQL,
     }

@@ -774,3 +774,53 @@ FROM s a JOIN s b ON a.surface < b.surface
 WHERE levenshtein(a.norm, b.norm) <= 3
 """
     )
+
+
+# --- interval-overlap join ---------------------------------------------------------------
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping activity intervals per user: each event spans
+    [ts, ts + value minutes]; emit overlapping same-user pairs.  The
+    range-join class (Spark expresses it as equi-join on the user key +
+    interval predicates; at scale the key is bucketed time, cf.
+    SURVEY.md §4 band-key emulation)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.round(F.col("value") * 100).cast("bigint") * 600_000)
+        ).alias("e_us"),  # value (2dp) minutes -> exact integer microseconds
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter(
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s_us") <= F.col("b.e_us"))
+            & (F.col("b.s_us") <= F.col("a.e_us"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            (
+                F.least(F.col("a.e_us"), F.col("b.e_us"))
+                - F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+            ).cast("bigint").alias("overlap_us"),
+        )
+    )
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 600000 AS e_us
+  FROM events
+)
+SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+       least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+FROM ev a JOIN ev b ON a.user_id = b.user_id
+WHERE a.event_id < b.event_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+"""
