@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_cust": RX.topk_orders_per_cust,
         "el_levenshtein_pairs": RX.el_levenshtein_pairs,
         "interval_overlap_join": RX.interval_overlap_join,
+        "anti_join_no_orders": RX.anti_join_no_orders,
+        "outer_join_order_counts": RX.outer_join_order_counts,
     }
 
 
@@ -216,4 +218,6 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_per_cust": RX.TOPK_SQL,
         "el_levenshtein_pairs": RX.el_levenshtein_sql(),
         "interval_overlap_join": RX.INTERVAL_OVERLAP_SQL,
+        "anti_join_no_orders": RX.ANTI_JOIN_SQL,
+        "outer_join_order_counts": RX.OUTER_JOIN_SQL,
     }

@@ -824,3 +824,42 @@ SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
 FROM ev a JOIN ev b ON a.user_id = b.user_id
 WHERE a.event_id < b.event_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
 """
+
+
+# --- explicit anti / outer joins ----------------------------------------------------------
+
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left-anti join (the G4 'drop unmatched'
+    complement)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name", "c_mktsegment")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order counts including zeros — left outer join + agg."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    return (
+        c.join(o, "c_custkey", "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+
+
+OUTER_JOIN_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+"""
