@@ -185,3 +185,17 @@ def test_linking_at_cardinality(spark):
     merged = sum(1 for v in ent_groups.values() if len(v) > 1)
     assert split <= 50, split   # <= 5% LSH miss tolerance
     assert merged <= 10, merged  # <= 1% false-merge tolerance
+
+
+def test_linking_partitioning_invariance(spark, brand_mentions):
+    """The entity map must not depend on how the input happens to be
+    partitioned (shuffle order, group arrival order)."""
+    a = {
+        (r.surface, r.canonical_surface)
+        for r in link_entities(brand_mentions.repartition(3)).collect()
+    }
+    b = {
+        (r.surface, r.canonical_surface)
+        for r in link_entities(brand_mentions.repartition(17)).collect()
+    }
+    assert a == b and len(a) > 0
