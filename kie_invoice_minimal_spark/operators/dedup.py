@@ -244,53 +244,80 @@ DD_SIMHASH_SQL = _simhash_sql()
 # --- n-gram Jaccard near-dup -------------------------------------------------------
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise token-3-gram Jaccard: block on (lang, token-count
-    band) so the pair space is bounded, then exact set similarity."""
+    """EXACT global token-3-gram Jaccard near-dup via prefix filtering
+    (All-Pairs / PPJoin family, Bayardo et al. WWW'07): sort each doc's
+    shingle-hash set, index only the first ``n - ceil(t*n) + 1`` hashes —
+    any pair with J >= t MUST share a prefix element, so the candidate set
+    from the prefix equi-join is lossless.  Sub-quadratic: candidates grow
+    with shingle co-occurrence, never as all-pairs-within-block.  (Replaces
+    the round-1 (lang, len_band) blocking that went quadratic inside hot
+    blocks — and missed cross-band near-dups; this version is globally
+    exact.)
+
+    Two lossless prunes before the verify:
+      - prefix filter itself (t = 0.5 -> prefix is floor(n/2) + 1 hashes);
+      - size-ratio: J <= min/max, so 2*min(n_a, n_b) >= max is necessary.
+    """
     d = _docs(spark, sf_dir).select(
         "doc_id",
-        "lang",
-        (F.floor(F.size(F.split(F.col("text"), " ")) / 20)).alias("len_band"),
         # intersect hashed longs, not strings — same Jaccard (both engines
         # hash identically), far cheaper set ops
         F.array_sort(
             F.transform(_tok_shingles(F.col("text")), lambda g: mdhash_spark(g))
         ).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # prefix length for threshold t: n - ceil(t*n) + 1; at t=0.5 that is
+    # floor(n/2) + 1 (integer identity n - ceil(n/2) = floor(n/2))
+    pref = d.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice("sh", F.lit(1), F.floor(F.col("n_sh") / 2) + 1)).alias("h"),
     )
-    d = d.withColumn("n_sh", F.size("sh"))
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.len_band") == F.col("b.len_band"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # lossless prune: J <= min/max of the set sizes, so a pair whose
-        # smaller shingle set is under half the larger can never reach
-        # JACCARD_THS=0.5 — skip the expensive intersect for those
-        & (F.least("a.n_sh", "b.n_sh") * 2 >= F.greatest("a.n_sh", "b.n_sh")),
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least("a.n_sh", "b.n_sh") * 2 >= F.greatest("a.n_sh", "b.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.col("a.n_sh") + F.col("b.n_sh") - inter
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.round(inter.cast("double") / union, 6)
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        jac.alias("jaccard"),
-    ).filter(F.col("jaccard") >= JACCARD_THS)
+    return j.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THS
+    )
 
 
 DD_NGRAM_JACCARD_SQL = f"""
 WITH t AS (
-  SELECT doc_id, lang,
-         CAST(floor(len(string_split(text, ' ')) / 20) AS BIGINT) AS len_band,
+  SELECT doc_id,
          list_sort(list_transform({_TOK_SHINGLES_SQL}, g -> {MDHASH_SQL('g')})) AS sh
   FROM documents
+),
+sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t),
+pref AS (
+  SELECT doc_id, n_sh,
+         unnest(list_slice(sh, 1, CAST(floor(n_sh / 2) AS BIGINT) + 1)) AS h
+  FROM sized
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   AND least(a.n_sh, b.n_sh) * 2 >= greatest(a.n_sh, b.n_sh)
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT c.doc_a, c.doc_b,
        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
          AS jaccard
-FROM t a JOIN t b
-  ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+FROM cand c JOIN sized a ON a.doc_id = c.doc_a JOIN sized b ON b.doc_id = c.doc_b
 WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
       >= {JACCARD_THS}
@@ -298,54 +325,134 @@ WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 
 # --- embedding-cosine near-dup -------------------------------------------------------
+#
+# Blocking is banded random-hyperplane LSH (Charikar SimHash for angles), NOT
+# the round-1 label blocking: label has ~10 distinct values forever, so its
+# pair space is O(n^2/10) — quadratic at corpus scale — and on this fixture it
+# found only 5 of the 59 true pairs (8% recall; planted near-dups cross
+# labels).  Banded LSH gives the classic n^(1+rho) trade: per-plane agreement
+# p = 1 - theta/pi, a band of r planes collides with p^r, B bands give recall
+# 1-(1-p1^r)^B while random near-orthogonal pairs (p2 = 0.5) collide with
+# 1-(1-p2^r)^B.  At COSINE_THS = 0.4 (p1 ~ 0.634) the chosen B=8 x r=4
+# measures recall 49/59 = 0.83 with a 2.4x candidate cut on the fixture; at a
+# production dup threshold (cos >= 0.9, p1 ~ 0.86, rho ~ 0.22) the same shape
+# is strongly sub-quadratic — r scales with log(n) as the corpus grows.
+# Hyperplanes are deterministic +-1 literals (seed 42) embedded in BOTH
+# dialects, so candidates agree bit-for-bit.
+
+import numpy as _np
+
+DD_COS_PLANES_N = 32
+DD_COS_BANDS = 8
+DD_COS_R = DD_COS_PLANES_N // DD_COS_BANDS  # 4 planes per band
+_DD_DIM = 64
+DD_COS_PLANES: list[list[int]] = (
+    (_np.random.RandomState(42).randint(0, 2, size=(DD_COS_PLANES_N, _DD_DIM)) * 2 - 1)
+    .tolist()
+)
+
+
+def _dd_cos_band_structs():
+    """Spark: array of (band_no, bkey) structs, bkey = r sign bits packed."""
+    bits = []
+    for plane in DD_COS_PLANES:
+        coeffs = F.array(*[F.lit(float(c)) for c in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    bands = []
+    for b in range(DD_COS_BANDS):
+        key = F.lit(0)
+        for j in range(DD_COS_R):
+            key = key + bits[b * DD_COS_R + j] * (1 << j)
+        bands.append(
+            F.struct(F.lit(b).alias("band_no"), key.cast("int").alias("bkey"))
+        )
+    return F.array(*bands)
+
 
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup vectors: block on label (coarse quantization), exact cosine
-    within block, threshold.  Dot/norm as sequential double folds so both
-    engines sum in the same order."""
+    """Near-dup vectors: banded hyperplane-LSH candidate generation, then
+    exact cosine verify at COSINE_THS.  Dot/norm as sequential double folds
+    so both engines sum in the same order."""
     e = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         # norms once per row, not once per pair
         .withColumn(
             "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x))
         )
     )
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    return (
+    bands = e.select(
+        "vec_id", F.explode(_dd_cos_band_structs()).alias("bd")
+    ).select("vec_id", "bd.band_no", "bd.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COSINE_THS)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b"))
+    j = cand.join(va, "vec_a").join(vb, "vec_b")
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    cos = F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return j.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= COSINE_THS
+    )
+
+
+def _dd_cos_bands_sql() -> str:
+    bit_exprs = []
+    for plane in DD_COS_PLANES:
+        lits = ", ".join(f"{float(c)}" for c in plane)
+        bit_exprs.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(v, [{lits}]),"
+            f" z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END)"
+        )
+    band_structs = ", ".join(
+        "struct_pack(band_no := {b}, bkey := {key})".format(
+            b=b,
+            key=" + ".join(
+                f"{bit_exprs[b * DD_COS_R + j]} * {1 << j}" for j in range(DD_COS_R)
+            ),
+        )
+        for b in range(DD_COS_BANDS)
+    )
+    return band_structs
 
 
 DD_EMBEDDING_COSINE_SQL = f"""
 WITH e AS (
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
+bands AS (
+  SELECT vec_id, unnest([{_dd_cos_bands_sql()}]) AS bd FROM e
+),
+flat AS (SELECT vec_id, bd.band_no AS band_no, bd.bkey AS bkey FROM bands),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM flat a JOIN flat b
+    ON a.band_no = b.band_no AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
 p AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  SELECT c.vec_a, c.vec_b,
          round(
            list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
               * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {COSINE_THS}
 """

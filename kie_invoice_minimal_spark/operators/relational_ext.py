@@ -738,10 +738,30 @@ SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk, o_totalprice FROM (
 
 # --- Levenshtein near-dup over distinct linked surfaces ---------------------------------
 
+# MinHash band blocking constants for the levenshtein query — md5-portable
+# twins of operators/blocking.py's 8x2-band scheme (that module's bands use
+# xxhash64, which has no DuckDB twin, so this query re-derives them from the
+# shared md5 hash convention).  P = 2^31-1 keeps affine products overflow-safe
+# in both engines.
+_LEV_P = (1 << 31) - 1
+_LEV_K = 16
+_LEV_BANDS = 8
+_LEV_R = _LEV_K // _LEV_BANDS
+
+
 def el_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup over the distinct BRAND surfaces — the string
-    metric complementing Jaccard; pair space is distinct-surface-sized."""
+    metric complementing Jaccard.  Round 1 ran an unconditioned self-cross
+    join over distinct surfaces (quadratic once distinct surfaces hit
+    millions); candidates now come from MinHash band blocking over char
+    3-grams of the normalized form (the blocking.candidate_pairs scheme,
+    re-derived md5-portable so the DuckDB twin computes identical bands),
+    then the levenshtein(norm) <= 3 verify runs only on colliding pairs.
+    Norm-equal aliases share every band, so true alias pairs always survive;
+    band recall for edited forms follows the 8x2 MinHash curve documented in
+    blocking.py."""
     from .blocking import normalize_surface
+    from .text_analysis import mdhash_spark
 
     m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
     s = (
@@ -752,26 +772,117 @@ def el_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB counts bytes, so multi-byte chars would diverge
         .withColumn("norm", normalize_surface(F.col("surface")))
     )
-    a = s.select(F.col("surface").alias("surface_a"), F.col("norm").alias("na"))
-    b = s.select(F.col("surface").alias("surface_b"), F.col("norm").alias("nb"))
+    padded = F.concat(F.lit("^^"), F.col("norm"), F.lit("$$"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - F.lit(2)),
+            lambda i: padded.substr(i, F.lit(3)),
+        )
+    )
+    s = s.withColumn("hb", F.transform(grams, lambda g: mdhash_spark(g) % _LEV_P))
+
+    def _mh(i: int):
+        a, b = 2 * i + 3, (7919 * (i + 1)) % _LEV_P
+        return lambda h: (h * a + b) % _LEV_P
+
+    sig = s.select(
+        "surface",
+        "norm",
+        *[F.array_min(F.transform("hb", _mh(i))).alias(f"mh_{i}") for i in range(_LEV_K)],
+    )
+    bands = sig.select(
+        "surface",
+        "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        mdhash_spark(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh_{j}").cast("string")
+                                    for j in range(b * _LEV_R, (b + 1) * _LEV_R)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(_LEV_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("surface", "norm", "bd.band_no", "bd.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.surface") < F.col("b.surface")),
+        )
+        .select(
+            F.col("a.surface").alias("surface_a"),
+            F.col("b.surface").alias("surface_b"),
+            F.col("a.norm").alias("na"),
+            F.col("b.norm").alias("nb"),
+        )
+        .distinct()
+    )
     return (
-        a.join(b, F.col("surface_a") < F.col("surface_b"))
-        .withColumn("edit_dist", F.levenshtein("na", "nb").cast("int"))
+        cand.withColumn("edit_dist", F.levenshtein("na", "nb").cast("int"))
         .filter(F.col("edit_dist") <= 3)
         .select("surface_a", "surface_b", "edit_dist")
     )
 
 
 def el_levenshtein_sql() -> str:
+    from .text_analysis import MDHASH_SQL
+
+    norm = duckdb_oracle.NORM_SQL.format(col="surface")
+    base = MDHASH_SQL("g")
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(hb, h -> (h * {2 * i + 3} + {(7919 * (i + 1)) % _LEV_P}) % {_LEV_P}))"
+        f" AS mh_{i}"
+        for i in range(_LEV_K)
+    )
+    band_structs = ", ".join(
+        "struct_pack(band_no := {b}, bkey := {h})".format(
+            b=b,
+            h=MDHASH_SQL(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(mh_{j} AS VARCHAR)" for j in range(b * _LEV_R, (b + 1) * _LEV_R))
+                + ")"
+            ),
+        )
+        for b in range(_LEV_BANDS)
+    )
     return (
         duckdb_oracle._classified_tokens_cte("SELECT doc_id AS k FROM documents")
         + f"""
-, s AS (SELECT DISTINCT surface, {duckdb_oracle.NORM_SQL.format(col='surface')} AS norm
-       FROM lab WHERE mention_type = 'BRAND')
-SELECT a.surface AS surface_a, b.surface AS surface_b,
-       CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS edit_dist
-FROM s a JOIN s b ON a.surface < b.surface
-WHERE levenshtein(a.norm, b.norm) <= 3
+, s AS (SELECT DISTINCT surface, {norm} AS norm
+        FROM lab WHERE mention_type = 'BRAND')
+, sh_t AS (
+  SELECT surface, norm,
+         list_transform(
+           list_distinct(list_transform(
+             range(1, length('^^' || norm || '$$') - 1),
+             i -> substr('^^' || norm || '$$', CAST(i AS INTEGER), 3))),
+           g -> {base} % {_LEV_P}) AS hb
+  FROM s
+)
+, sigs AS (SELECT surface, norm, {sig_cols} FROM sh_t)
+, lev_bands AS (SELECT surface, norm, unnest([{band_structs}]) AS bd FROM sigs)
+, lev_flat AS (SELECT surface, norm, bd.band_no AS band_no, bd.bkey AS bkey FROM lev_bands)
+, lev_cand AS (
+  SELECT DISTINCT a.surface AS surface_a, b.surface AS surface_b,
+         a.norm AS na, b.norm AS nb
+  FROM lev_flat a JOIN lev_flat b
+    ON a.band_no = b.band_no AND a.bkey = b.bkey AND a.surface < b.surface
+)
+SELECT surface_a, surface_b,
+       CAST(levenshtein(na, nb) AS INTEGER) AS edit_dist
+FROM lev_cand WHERE levenshtein(na, nb) <= 3
 """
     )
 
@@ -828,20 +939,29 @@ WHERE a.event_id < b.event_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
 
 # --- explicit anti / outer joins ----------------------------------------------------------
 
+ANTI_JOIN_CUTOFF = "2000-01-01"  # every customer has *some* order; dormancy since a cutoff discriminates
+
+
 def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — left-anti join (the G4 'drop unmatched'
-    complement)."""
+    """Customers with no orders since ANTI_JOIN_CUTOFF — left-anti join (the
+    G4 'drop unmatched' complement).  The build side is date-restricted so
+    the result is non-empty (135 rows at sf0.01) and the hash discriminates;
+    an unrestricted anti-join is vacuously 0 == 0 on this fixture."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.col("o_custkey").alias("c_custkey")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit(ANTI_JOIN_CUTOFF).cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name", "c_mktsegment")
 
 
-ANTI_JOIN_SQL = """
+ANTI_JOIN_SQL = f"""
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{ANTI_JOIN_CUTOFF}')
 """
 
 
