@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": RX.sessionize_events,
         "topk_orders_per_cust": RX.topk_orders_per_cust,
         "el_levenshtein_pairs": RX.el_levenshtein_pairs,
+        "p4_threshold_fallback": RX.p4_threshold_fallback,
         "interval_overlap_join": RX.interval_overlap_join,
         "anti_join_no_orders": RX.anti_join_no_orders,
         "outer_join_order_counts": RX.outer_join_order_counts,
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": RX.SESSIONIZE_SQL,
         "topk_orders_per_cust": RX.TOPK_SQL,
         "el_levenshtein_pairs": RX.el_levenshtein_sql(),
+        "p4_threshold_fallback": RX.P4_FALLBACK_SQL,
         "interval_overlap_join": RX.INTERVAL_OVERLAP_SQL,
         "anti_join_no_orders": RX.ANTI_JOIN_SQL,
         "outer_join_order_counts": RX.OUTER_JOIN_SQL,

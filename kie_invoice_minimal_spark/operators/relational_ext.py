@@ -887,6 +887,55 @@ FROM lev_cand WHERE levenshtein(na, nb) <= 3
     )
 
 
+# --- P4 threshold fallback ladder (ref scripts/inference_kie.py:114-135) -----------------
+
+# the reference retries saliency thresholding with progressively looser
+# cutoffs (0.5 -> 0.3 -> 0.2 -> 0.1) until the mask is non-empty; the
+# relational form is a tier column (strictest predicate each row passes) and
+# a per-group windowed min — every group keeps exactly the rows of its
+# strictest NON-EMPTY tier, one pass, no retry loop
+FALLBACK_THRESHOLDS = (0.5, 0.3, 0.2, 0.1)
+
+
+def p4_threshold_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event selection with the reference's fallback ladder: keep
+    events at the strictest threshold tier that is non-empty for that user.
+    SURVEY §4 'threshold fallback ladder' — coalesce over progressively
+    looser predicates, computed as min(tier) over a window instead of a
+    driver-side retry loop."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.round(F.col("value") / 600.0, 6).alias("score")
+    )
+    tier = F.lit(None).cast("int")
+    for i, t in reversed(list(enumerate(FALLBACK_THRESHOLDS))):
+        tier = F.when(F.col("score") >= t, F.lit(i)).otherwise(tier)
+    # the when-chain above nests so the STRICTEST matching threshold wins:
+    # built loosest-first, each stricter branch overrides
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("tier", tier)
+        .withColumn("min_tier", F.min("tier").over(w))
+        .filter(F.col("tier") == F.col("min_tier"))
+        .select("user_id", "event_id", "score", F.col("tier").cast("int").alias("tier"))
+    )
+
+
+def _fallback_case() -> str:
+    whens = " ".join(
+        f"WHEN score >= {t} THEN {i}" for i, t in enumerate(FALLBACK_THRESHOLDS)
+    )
+    return f"CASE {whens} END"
+
+
+P4_FALLBACK_SQL = f"""
+WITH s AS (SELECT user_id, event_id, round(value / 600.0, 6) AS score FROM events),
+t AS (SELECT *, CAST({_fallback_case()} AS INTEGER) AS tier FROM s),
+m AS (SELECT *, min(tier) OVER (PARTITION BY user_id) AS min_tier FROM t)
+SELECT user_id, event_id, score, tier FROM m WHERE tier = min_tier
+"""
+
+
 # --- interval-overlap join ---------------------------------------------------------------
 
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:

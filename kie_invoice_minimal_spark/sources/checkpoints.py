@@ -28,7 +28,7 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -79,8 +79,18 @@ class CheckpointedPipeline:
 
     def _write_stage(self, name: str, df: DataFrame) -> DataFrame:
         out = self._data_dir(name)
-        observed = df.observe(f"obs_{name}_{int(time.time()*1000)}", F.count(F.lit(1)).alias("n_rows"))
-        observed.write.mode("overwrite").parquet(out)
+        # counter metric riding the WRITE job itself (no extra action): the
+        # Observation resolves once the write finishes, giving the row count
+        # the writer actually produced
+        obs = Observation(f"obs_{name}_{int(time.time()*1000)}")
+        df.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.mode(
+            "overwrite"
+        ).parquet(out)
+        n_written = int(obs.get["n_rows"])
+        # per-partition lineage comes from reading the snapshot back — it
+        # describes the table AS STORED (what a resume will load), and the
+        # observed write count cross-checks it: a mismatch means a torn or
+        # concurrently-modified snapshot, surfaced instead of trusted
         back = self.spark.read.parquet(out)
         lineage = {
             os.path.basename(r.f): r.n
@@ -88,11 +98,18 @@ class CheckpointedPipeline:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        n_stored = int(sum(lineage.values()))
+        if n_stored != n_written:
+            raise RuntimeError(
+                f"stage {name}: snapshot readback has {n_stored} rows but the "
+                f"write job observed {n_written} — torn snapshot"
+            )
         state = {
             "stage": name,
             "status": "complete",
             "snapshot_path": out,
-            "n_rows": int(sum(lineage.values())),
+            "n_rows": n_stored,
+            "n_rows_observed": n_written,
             "n_partitions": len(lineage),
             "partition_rows": lineage,
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
