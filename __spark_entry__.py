@@ -22,7 +22,10 @@ from kie_invoice_minimal_spark.operators import relational_ext as RX
 from kie_invoice_minimal_spark.operators import similarity as SS
 from kie_invoice_minimal_spark.operators import text_analysis as TA
 from kie_invoice_minimal_spark.operators.connected_components import connected_components
-from kie_invoice_minimal_spark.operators.mention_detect import detect_mentions_arrow
+from kie_invoice_minimal_spark.operators.mention_detect import (
+    detect_mentions_arrow,
+    merge_adjacent_mentions,
+)
 from kie_invoice_minimal_spark.plans.entity_linking import (
     alias_triples,
     canonical_triples,
@@ -48,6 +51,11 @@ def _kg_triples_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+
+
+def _kg_mentions_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-token span mentions (reference create_merge_cells analog)."""
+    return merge_adjacent_mentions(_kg_mentions(spark, sf_dir))
 
 
 def _brand_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _kg_triples,
         "kg_triples_native": _kg_triples_native,
         "kg_mentions": _kg_mentions,
+        "kg_mentions_merged": _kg_mentions_merged,
         # relational operator library (SURVEY.md §2)
         "g5_ordered_concat": R.g5_ordered_concat,
         "e3_minmax_normalize": R.e3_minmax_normalize,
@@ -160,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": duckdb_oracle.triples_sql(),
         "kg_triples_native": duckdb_oracle.triples_sql(),
         "kg_mentions": duckdb_oracle.mentions_sql(),
+        "kg_mentions_merged": duckdb_oracle.merged_mentions_sql(),
         "g5_ordered_concat": R.G5_SQL,
         "e3_minmax_normalize": R.E3_SQL,
         "a5_group_standardize": R.A5_SQL,

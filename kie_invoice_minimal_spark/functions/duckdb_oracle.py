@@ -79,6 +79,32 @@ FROM lab WHERE mention_type != 'OTHER'
     )
 
 
+def merged_mentions_sql(keys_sql: str = "SELECT doc_id AS k FROM documents") -> str:
+    """DuckDB twin of operators/mention_detect.merge_adjacent_mentions over
+    the derived transcripts: gaps-and-islands on token position."""
+    return (
+        _classified_tokens_cte(keys_sql)
+        + """
+, kept AS (SELECT * FROM lab WHERE mention_type != 'OTHER')
+, isl AS (
+  SELECT *,
+         pos - row_number() OVER (
+           PARTITION BY conv_id, turn_idx, mention_type ORDER BY pos) AS island
+  FROM kept
+)
+SELECT conv_id, turn_idx,
+       CAST(min(pos) AS INTEGER) AS pos,
+       CAST(min(span_start) AS INTEGER) AS span_start,
+       CAST(max(span_end) AS INTEGER) AS span_end,
+       string_agg(surface, ' ' ORDER BY pos) AS surface,
+       mention_type,
+       CAST(count(*) AS INTEGER) AS n_tokens
+FROM isl
+GROUP BY conv_id, turn_idx, mention_type, island
+"""
+    )
+
+
 # Normalization twin of operators/blocking.normalize_surface: lower, strip
 # accents (+ đ, which strip_accents leaves), drop non-alphanumeric.
 NORM_SQL = (

@@ -264,3 +264,52 @@ def with_mention_id(mentions: DataFrame) -> DataFrame:
     return mentions.withColumn(
         "mention_id", F.xxhash64("conv_id", "turn_idx", "pos")
     )
+
+
+def merge_adjacent_mentions(mentions: DataFrame) -> DataFrame:
+    """Merge runs of ADJACENT same-type token mentions within a turn into one
+    multi-token span — the reference's multi-box span merge
+    (``backend/backend_utils.py:95-121`` ``create_merge_cells``: boxes on one
+    line whose gaps are below a threshold become one cell), restated for
+    pre-tokenized text where "adjacent" means consecutive token positions.
+
+    Gaps-and-islands: island = pos - row_number() over (conv, turn, type
+    ordered by pos) is constant exactly on consecutive-pos runs; one groupBy
+    per island emits the merged span.  Merged surface = ' '-join in pos
+    order, span = [min(span_start), max(span_end)) — single-space
+    tokenization guarantees substring(text, span) == surface (tested).
+
+    Scale: the window and groupBy both key on (conv_id, turn_idx, ...) — the
+    same clustering the bucketed transcripts scan already provides, so on a
+    bucket(conv_id) table this whole operator is exchange-free.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id", "turn_idx", "mention_type").orderBy("pos")
+    isl = mentions.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("conv_id", "turn_idx", "mention_type", "island")
+        .agg(
+            F.min("pos").cast("int").alias("pos"),
+            F.min("span_start").cast("int").alias("span_start"),
+            F.max("span_end").cast("int").alias("span_end"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "surface"))),
+                    lambda m: m["surface"],
+                ),
+                " ",
+            ).alias("surface"),
+            F.count("*").cast("int").alias("n_tokens"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "pos",
+            "span_start",
+            "span_end",
+            "surface",
+            "mention_type",
+            "n_tokens",
+        )
+    )

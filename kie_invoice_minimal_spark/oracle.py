@@ -84,3 +84,35 @@ def precision_recall(
         return (0.0, 0.0)
     inter = len(got & golden)
     return inter / len(got), inter / len(golden)
+
+
+def merge_mentions(mentions: list[Mention]) -> list[Mention]:
+    """Merge runs of adjacent same-type mentions within a turn — the
+    pure-Python spec of ``operators.mention_detect.merge_adjacent_mentions``
+    (reference ``backend_utils.py:95-121`` create_merge_cells).  Surfaces
+    join with ' '; the merged span covers [first.span_start, last.span_end).
+    """
+    by_key: dict[tuple[str, int, str], list[Mention]] = defaultdict(list)
+    for m in mentions:
+        by_key[(m.conv_id, m.turn_idx, m.mention_type)].append(m)
+    out: list[Mention] = []
+    for (conv_id, turn_idx, mtype), ms in by_key.items():
+        ms.sort(key=lambda m: m.pos)
+        run: list[Mention] = []
+        for m in ms + [None]:  # sentinel flushes the last run
+            if run and (m is None or m.pos != run[-1].pos + 1):
+                out.append(
+                    Mention(
+                        conv_id,
+                        turn_idx,
+                        run[0].pos,
+                        run[0].span_start,
+                        run[-1].span_end,
+                        " ".join(r.surface for r in run),
+                        mtype,
+                    )
+                )
+                run = []
+            if m is not None:
+                run.append(m)
+    return out

@@ -73,6 +73,11 @@ def _brand_idx(k: Column) -> Column:
     )
 
 
+def _brand2_idx(k: Column) -> Column:
+    """Second adjacent brand token for the multi-token span case."""
+    return (k * 11) % len(BRAND_VARIANTS)
+
+
 def derive_transcripts(keys: DataFrame, key_col: str = "k") -> DataFrame:
     """Derive the transcripts table from a DataFrame of bigint turn keys.
 
@@ -105,7 +110,19 @@ def derive_transcripts(keys: DataFrame, key_col: str = "k") -> DataFrame:
         )
         .when(
             turn == 3,
-            F.concat(F.lit(_T3[0]), brand, F.lit(_T3[1]), exp_m, F.lit(_T3[2])),
+            # every other conversation plants TWO adjacent brand tokens —
+            # the multi-token span case (reference merges multi-box spans,
+            # backend_utils.py:95-121); exercised by kg_mentions_merged
+            F.concat(
+                F.lit(_T3[0]),
+                F.when(
+                    F.floor(k / TURNS_PER_CONV) % 2 == 0,
+                    F.concat(brand, F.lit(" "), _pick(_brand2_idx(k), BRAND_VARIANTS)),
+                ).otherwise(brand),
+                F.lit(_T3[1]),
+                exp_m,
+                F.lit(_T3[2]),
+            ),
         )
         .otherwise(F.lit(_T4))
     )
@@ -163,6 +180,7 @@ def duckdb_transcripts_sql(keys_sql: str = "SELECT doc_id AS k FROM documents") 
     brand = _sql_pick(
         f"CASE WHEN k % 3 = 0 THEN 0 ELSE 1 + (k * 7) % {bv - 1} END", BRAND_VARIANTS
     )
+    brand2 = _sql_pick(f"(k * 11) % {bv}", BRAND_VARIANTS)
     mfg_m = "CAST(1 + k % 12 AS VARCHAR)"
     exp_m = "CAST(1 + (k * 5) % 12 AS VARCHAR)"
     weight = "CAST(100 + (k % 90) * 10 AS VARCHAR)"
@@ -171,6 +189,9 @@ WITH keys AS ({keys_sql}),
 turns AS (
   SELECT k, CAST(k % {TURNS_PER_CONV} AS INTEGER) AS turn_idx,
          {name} AS name_tok, {brand} AS brand_tok,
+         CASE WHEN CAST(floor(k / {TURNS_PER_CONV}) AS BIGINT) % 2 = 0
+              THEN {brand} || ' ' || {brand2}
+              ELSE {brand} END AS brand_span,
          {mfg_m} AS mfg_m, {exp_m} AS exp_m, {weight} AS weight_tok
   FROM keys
 )
@@ -186,7 +207,7 @@ SELECT
                 || exp_m || '{_T1[3]}' || weight_tok || '{_T1[4]}'
     WHEN 2 THEN '{_T2[0]}' || brand_tok || '{_T2[1]}' || weight_tok || '{_T2[2]}'
                 || exp_m || '{_T2[3]}'
-    WHEN 3 THEN '{_T3[0]}' || brand_tok || '{_T3[1]}' || exp_m || '{_T3[2]}'
+    WHEN 3 THEN '{_T3[0]}' || brand_span || '{_T3[1]}' || exp_m || '{_T3[2]}'
     ELSE '{_T4}'
   END AS text,
   CASE WHEN turn_idx % 3 = 2 THEN 'lookup' ELSE NULL END AS tool,
