@@ -10,10 +10,12 @@ Scale notes:
 - exact dedup: one shuffle on the content hash (never on the text itself);
 - MinHash LSH: signatures are narrow maps; the only join is the band-bucket
   self-join — same shape as operators/blocking.py, block caps + AQE skew;
-- n-gram Jaccard runs on *blocked* pairs (lang + length band), never all
-  pairs;
-- embedding-cosine blocks on a coarse quantization (here: label) before the
-  pairwise scan.
+- n-gram Jaccard is EXACT yet sub-quadratic via prefix filtering (All-Pairs/
+  PPJoin): only the first floor(n/2)+1 sorted shingle hashes are indexed —
+  lossless at t=0.5 — and the equi-join on prefix hash yields the candidates;
+- embedding-cosine blocks on banded hyperplane LSH (n^(1+rho) trade), never
+  on a fixed-cardinality attribute;
+- dup clusters: connected components over verified pairs, keeper = min doc.
 """
 
 from __future__ import annotations
@@ -499,4 +501,45 @@ FROM cand c JOIN sh_t a ON a.doc_id = c.doc_a JOIN sh_t b ON b.doc_id = c.doc_b
 WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
       >= {JACCARD_THS}
+"""
+
+
+# --- dup clusters: the dedup end-game -------------------------------------------------
+
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the verified near-dup pairs: iterative
+    connected components (the same large-star/small-star operator the
+    entity-canonicalization stage uses) over the LSH->verify edge list,
+    then keeper = min doc_id per cluster.  This is what a corpus dedup
+    actually ships — a per-doc (cluster_id, is_keeper) assignment — and at
+    100 TB it inherits CC's hub-salting and per-round checkpointing.
+
+    Output: one row per doc that appears in any dup pair; cluster_id is the
+    min doc_id of the cluster (CC converges to min labels), is_keeper marks
+    the retained representative.
+    """
+    from .connected_components import connected_components
+
+    pairs = dd_lsh_verified_dups(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
+
+
+DD_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({DD_LSH_VERIFIED_SQL.strip()}),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, comp) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.node
+)
+SELECT node AS doc_id, min(comp) AS cluster_id,
+       node = min(comp) AS is_keeper
+FROM reach GROUP BY node
 """

@@ -393,22 +393,33 @@ WHERE EXISTS (SELECT 1 FROM lab l
 
 def setop_split_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of the three splits reconstructs the corpus and the splits are
-    pairwise disjoint — expressed with UNION/INTERSECT/EXCEPT."""
+    pairwise disjoint — expressed with UNION/INTERSECT/EXCEPT.  One lazily
+    planned DataFrame: each check is a scalar agg over the set expression
+    and the four are unioned, so the caller's single action runs ONE job
+    (round 1 drove four driver-side .count() actions here — the only
+    queries() entry that hid actions inside the plan builder)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.pmod("doc_id", F.lit(20)).alias("m")
     )
     train = d.filter(F.col("m") < 14).select("doc_id")
     val = d.filter((F.col("m") >= 14) & (F.col("m") < 17)).select("doc_id")
     test = d.filter(F.col("m") >= 17).select("doc_id")
-    return spark.createDataFrame(
-        [
-            ("union_reconstructs", train.union(val).union(test).distinct().count()),
-            ("train_val_overlap", train.intersect(val).count()),
-            ("val_test_overlap", val.intersect(test).count()),
-            ("corpus_minus_splits", d.select("doc_id").exceptAll(
-                train.union(val).union(test)).count()),
-        ],
-        "check string, n bigint",
+
+    def scalar(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check"), F.count("*").cast("bigint").alias("n")
+        )
+
+    return (
+        scalar("union_reconstructs", train.union(val).union(test).distinct())
+        .unionByName(scalar("train_val_overlap", train.intersect(val)))
+        .unionByName(scalar("val_test_overlap", val.intersect(test)))
+        .unionByName(
+            scalar(
+                "corpus_minus_splits",
+                d.select("doc_id").exceptAll(train.union(val).union(test)),
+            )
+        )
     )
 
 
