@@ -57,7 +57,8 @@ def main() -> None:
     # Warmup (codegen + python workers) then min-of-2 steady-state timing.
     transcripts = synth_transcripts(spark, n_turns).persist()
     n_actual = transcripts.count()  # materialize input outside the timing
-    _materialize(extract_triples_df(synth_transcripts(spark, 20_000), engine="arrow"))
+    for eng in ("arrow", "native"):  # warm BOTH engines (workers + codegen)
+        _materialize(extract_triples_df(synth_transcripts(spark, 20_000), engine=eng))
     for eng in ("arrow", "native"):
         walls = []
         for _ in range(2):
