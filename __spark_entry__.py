@@ -150,7 +150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_after_view": AJ.asof_click_after_view,
         "stats_percentiles": RX.stats_percentiles,
         "w_ntile_lag": RX.w_ntile_lag,
+        "w_range_frame": RX.w_range_frame,
         "cube_doc_stats": RX.cube_doc_stats,
+        "grouping_sets_doc_stats": RX.grouping_sets_doc_stats,
         "tpch_q1_pricing": RX.tpch_q1_pricing,
         "o3_confusion_pivot": RX.o3_confusion_pivot,
         "unpivot_readout": RX.unpivot_readout,
@@ -222,7 +224,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_after_view": AJ.ASOF_SQL,
         "stats_percentiles": RX.PERCENTILES_SQL,
         "w_ntile_lag": RX.W_NTILE_SQL,
+        "w_range_frame": RX.W_RANGE_FRAME_SQL,
         "cube_doc_stats": RX.CUBE_SQL,
+        "grouping_sets_doc_stats": RX.GROUPING_SETS_SQL,
         "tpch_q1_pricing": RX.TPCH_Q1_SQL,
         "o3_confusion_pivot": RX.O3_PIVOT_SQL,
         "unpivot_readout": RX.UNPIVOT_SQL,

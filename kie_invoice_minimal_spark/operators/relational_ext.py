@@ -546,6 +546,77 @@ FROM documents GROUP BY CUBE(lang, source)
 """
 
 
+def grouping_sets_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third multi-level-agg surface next to
+    ROLLUP and CUBE: per-lang, per-source, and per-(lang, source) totals in
+    one pass (no grand total — the asymmetry CUBE can't express)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupingSets([["lang"], ["source"], ["lang", "source"]], "lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+"""
+
+
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the rolling 30-minute sum of event
+    values (RANGE BETWEEN 30 min PRECEDING AND CURRENT ROW over event time).
+    The physical ordering key is integer microseconds and the sum runs on
+    integer cents, so both engines fold identically (float-sum order and
+    fractional-epoch traps from CLAUDE.md).  Ties on ts within a user are
+    legal for RANGE frames — peers aggregate together in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum("cents").over(w).cast("bigint").alias("roll_cents_30m"),
+    )
+
+
+W_RANGE_FRAME_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id, ts_us,
+       CAST(sum(cents) OVER (
+         PARTITION BY user_id ORDER BY ts_us
+         RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS roll_cents_30m
+FROM ev
+"""
+
+
 # --- TPC-H Q1-style pricing summary (exact decimal arithmetic) ---------------------
 
 def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
