@@ -111,3 +111,42 @@ def run_stream_to_memory(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def streaming_triples(transcripts: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming form of the flagship triple materialization: a
+    conversation's triples FINALIZE when the conversation goes quiet — a
+    session window per (conv_id, mention_type) with the same deterministic
+    sorted in-group concat as ``triples.materialize_triples``.  Append-mode
+    output: each (subj, pred, obj) row is emitted exactly once, when the
+    watermark passes the session end (the streaming analog of "the
+    document is fully received" in the reference's request loop).
+
+    State is bounded: sessions hold only the mention structs of live
+    conversations; the watermark evicts closed ones.
+    """
+    m = streaming_mentions(transcripts)
+    return (
+        m.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.session_window("ts", gap).alias("sw"),
+            "conv_id",
+            "mention_type",
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "pos", "surface"))),
+                    lambda s: s["surface"],
+                ),
+                " ",
+            ).alias("obj")
+        )
+        .select(
+            F.col("conv_id").alias("subj"),
+            F.col("mention_type").alias("pred"),
+            "obj",
+            "conv_id",
+            F.col("sw.start").alias("session_start"),
+        )
+    )

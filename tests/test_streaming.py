@@ -144,3 +144,69 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
         for r in detect_mentions_arrow(t).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_triples_finalize_on_quiet(spark, tmp_path):
+    """Append-mode streaming triples: sessions emit exactly once after the
+    watermark passes, and the emitted rows equal the batch session-window
+    computation.  A mention-free far-future 'kicker' turn advances the
+    watermark so every fixture session closes."""
+    from kie_invoice_minimal_spark.streaming.stream_pipeline import (
+        read_transcript_stream,
+        streaming_triples,
+    )
+
+    in_dir = str(tmp_path / "in5")
+    ckpt = str(tmp_path / "ckpt5")
+    t = synth_transcripts(spark, 300)
+    t.write.mode("append").parquet(in_dir)
+
+    q = (
+        streaming_triples(read_transcript_stream(spark, in_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("striples_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # kicker: ts far past every fixture session.  It MUST carry a
+        # mention — the watermark operator sits after the detector, so a
+        # mention-free turn never reaches it and event time would not
+        # advance.  Its own session never closes (nothing follows it), so
+        # it cannot appear in the append output.
+        kicker = spark.createDataFrame(
+            [("conv-kick", 0, "user", "thuong hieu VinaMilk", None, "2026-01-01 00:00:00")],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        kicker.write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        # a batch evicts with the watermark computed from the PREVIOUS
+        # batch's max event time, so a second kicker batch is needed for
+        # the first kicker's watermark to take effect
+        kicker.withColumn("turn_idx", F.lit(1)).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        got = {
+            (r.subj, r.pred, r.obj, r.session_start)
+            for r in spark.sql("SELECT * FROM striples_test").collect()
+        }
+    finally:
+        q.stop()
+
+    m = detect_mentions_native(t.select("conv_id", "turn_idx", "text", "ts"), carry=("ts",))
+    batch = (
+        m.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "conv_id", "mention_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "pos", "surface"))),
+                    lambda s: s["surface"],
+                ),
+                " ",
+            ).alias("obj")
+        )
+        .select("conv_id", "mention_type", "obj", F.col("sw.start").alias("ws"))
+    )
+    want = {(r.conv_id, r.mention_type, r.obj, r.ws) for r in batch.collect()}
+    assert got == want and len(got) > 0
