@@ -69,11 +69,17 @@ def main() -> None:
     turns_per_sec = round(n_actual / timings["kg_pipeline_arrow"], 1)
     transcripts.unpersist()
 
-    # Operator library at sf_dir.
+    # Operator library at sf_dir — min-of-2 per query (the repo's benchmark
+    # convention, see BENCH_SCALING.md): the shared virtualized host shows
+    # ±30% one-off stragglers, and min-of-2 measures the plan, not the
+    # neighbor's noise.
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(fn(spark, sf_dir))
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     total = round(sum(timings.values()), 3)
     print(
