@@ -1,0 +1,49 @@
+"""Physical-plan guards: the Spark-first claims, asserted mechanically.
+
+- No row-at-a-time Python (BatchEvalPython) anywhere in any registered
+  query's plan — the north rule's "no per-row Python".
+- The flagship native extraction keeps its single-exchange shape.
+- Scans prune columns: the mention path never reads the documents table's
+  text-unrelated payload columns.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    for name, fn in entrymod.queries().items():
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the Arrow path"
+
+
+def test_flagship_native_single_exchange(spark):
+    plan = _plan(entrymod.queries()["kg_triples_native"](spark, SF))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 1, f"flagship should shuffle exactly once, saw {n_ex}"
+
+
+def test_mention_scan_prunes_columns(spark):
+    """The transcripts derivation needs only doc_id from documents —
+    ReadSchema must not include text/lang/source payload columns."""
+    plan = _plan(entrymod.queries()["kg_mentions"](spark, SF))
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "doc_id" in schema
+    for col in ("lang", "source", "n_chars"):
+        assert col not in schema, f"unpruned column {col} in {schema}"
