@@ -56,3 +56,39 @@ def test_classify_token_total(tok, prev):
     from kie_invoice_minimal_spark.functions.rules import NODE_LABELS
 
     assert classify_token(tok, prev) in NODE_LABELS
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=8))
+def test_merge_mentions_properties(texts):
+    """Fuzz the span-merge spec: merged runs are consecutive-pos same-type,
+    surfaces re-split to the original token mentions, and spans nest within
+    the originals' [min_start, max_end)."""
+    from kie_invoice_minimal_spark.oracle import merge_mentions
+
+    flat = [
+        m
+        for i, t in enumerate(texts)
+        for m in detect_mentions(f"c{i}", i, t)
+    ]
+    merged = merge_mentions(flat)
+    # splitting merged surfaces recovers the flat surface sequence per key
+    flat_by_key: dict = {}
+    for m in flat:
+        flat_by_key.setdefault((m.conv_id, m.turn_idx, m.mention_type), []).append(m)
+    rec_by_key: dict = {}
+    for m in merged:
+        rec_by_key.setdefault((m.conv_id, m.turn_idx, m.mention_type), []).append(m)
+    assert set(flat_by_key) == set(rec_by_key)
+    for key, ms in flat_by_key.items():
+        ms.sort(key=lambda m: m.pos)
+        rec = sorted(rec_by_key[key], key=lambda m: m.pos)
+        # token surfaces in pos order are preserved through the merge
+        assert [s for r in rec for s in r.surface.split(" ")] == [m.surface for m in ms]
+        # merged spans cover their run exactly
+        pos_of = {m.pos: m for m in ms}
+        for r in rec:
+            n = len(r.surface.split(" "))
+            run = [pos_of[r.pos + j] for j in range(n)]  # consecutive positions exist
+            assert r.span_start == run[0].span_start
+            assert r.span_end == run[-1].span_end
