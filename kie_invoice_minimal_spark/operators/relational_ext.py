@@ -1020,12 +1020,24 @@ SELECT user_id, event_id, score, tier FROM m WHERE tier = min_tier
 
 # --- interval-overlap join ---------------------------------------------------------------
 
+# bucket width must be >= the max interval length so an interval touches at
+# most 2 buckets and every overlapping pair shares >= 1 bucket (lossless).
+# value <= 500 (2dp) minutes -> intervals <= 500 min; 512 min in micros:
+INTERVAL_BUCKET_US = 512 * 60 * 1_000_000
+
+
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping activity intervals per user: each event spans
-    [ts, ts + value minutes]; emit overlapping same-user pairs.  The
-    range-join class (Spark expresses it as equi-join on the user key +
-    interval predicates; at scale the key is bucketed time, cf.
-    SURVEY.md §4 band-key emulation)."""
+    [ts, ts + value minutes]; emit overlapping same-user pairs.
+
+    The range-join class, made scale-safe with TIME-BUCKET blocking
+    (SURVEY.md §4 band-key emulation): each interval explodes into the
+    <= 2 fixed-width time buckets it touches (width >= max interval length,
+    so the blocking is lossless), the join is an equi-join on
+    (user_id, bucket), and cross-bucket double-counts are deduped.  A user
+    with millions of events no longer produces a per-user cross product —
+    pairs are bounded by co-occupancy of 8.5-hour windows.  (Round 1
+    joined on user_id alone: quadratic within hot users.)"""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id",
         "event_id",
@@ -1035,9 +1047,23 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.round(F.col("value") * 100).cast("bigint") * 600_000)
         ).alias("e_us"),  # value (2dp) minutes -> exact integer microseconds
     )
-    a, b = ev.alias("a"), ev.alias("b")
+    B = F.lit(INTERVAL_BUCKET_US)
+    bucketed = ev.select(
+        "user_id",
+        "event_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(F.floor(F.col("s_us") / B), F.floor(F.col("e_us") / B))
+        ).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
-        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
         .filter(
             (F.col("a.event_id") < F.col("b.event_id"))
             & (F.col("a.s_us") <= F.col("b.e_us"))
@@ -1052,18 +1078,28 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.greatest(F.col("a.s_us"), F.col("b.s_us"))
             ).cast("bigint").alias("overlap_us"),
         )
+        .distinct()  # a pair sharing 2 buckets appears twice pre-dedup
     )
 
 
-INTERVAL_OVERLAP_SQL = """
+INTERVAL_OVERLAP_SQL = f"""
 WITH ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS s_us,
          epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 600000 AS e_us
   FROM events
+),
+bucketed AS (
+  SELECT user_id, event_id, s_us, e_us,
+         unnest(range(CAST(floor(s_us / {INTERVAL_BUCKET_US}) AS BIGINT),
+                      CAST(floor(e_us / {INTERVAL_BUCKET_US}) AS BIGINT) + 1))
+           AS bucket
+  FROM ev
 )
-SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+SELECT DISTINCT a.user_id AS user_id, a.event_id AS event_a,
+       b.event_id AS event_b,
        least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
-FROM ev a JOIN ev b ON a.user_id = b.user_id
+FROM bucketed a JOIN bucketed b
+  ON a.user_id = b.user_id AND a.bucket = b.bucket
 WHERE a.event_id < b.event_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
 """
 

@@ -59,3 +59,44 @@ def test_merge_different_types_adjacent_not_merged(spark):
     )
     rows = merge_adjacent_mentions(two).collect()
     assert len(rows) == 2 and all(r.n_tokens == 1 for r in rows)
+
+
+def test_interval_bucketing_is_lossless(spark):
+    """The time-bucket blocked interval join returns exactly the naive
+    per-user join's pairs (any overlapping pair shares the bucket containing
+    the overlap point)."""
+    from kie_invoice_minimal_spark.operators.relational_ext import (
+        interval_overlap_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.round(F.col("value") * 100).cast("bigint") * 600_000)
+        ).alias("e_us"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    naive = {
+        (r.user_id, r.event_a, r.event_b)
+        for r in a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter(
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s_us") <= F.col("b.e_us"))
+            & (F.col("b.s_us") <= F.col("a.e_us"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+        )
+        .collect()
+    }
+    got = {
+        (r.user_id, r.event_a, r.event_b)
+        for r in interval_overlap_join(spark, sf).collect()
+    }
+    assert got == naive and len(got) > 0

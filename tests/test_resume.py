@@ -71,3 +71,39 @@ def test_no_resume_recomputes(spark, tmp_path, resume):
     a = _triples(p.run(resume=False))
     b = _triples(p.run(resume=False))  # recompute everything, same result
     assert a == b
+
+
+def test_torn_state_file_recomputes(spark, tmp_path):
+    """A truncated state record (crash mid-commit) means the stage did not
+    complete: resume must recompute it, not crash, and reproduce identical
+    triples."""
+    import os
+
+    root = str(tmp_path / "ckpt5")
+    p = kg_pipeline(spark, root, _provider(300))
+    golden = _triples(p.run())
+
+    state_path = p._state_path("entity_map")
+    with open(state_path) as f:
+        content = f.read()
+    with open(state_path, "w") as f:
+        f.write(content[: len(content) // 2])  # torn JSON
+    assert p.state("entity_map") is None
+    assert not p.is_complete("entity_map")
+
+    resumed = kg_pipeline(spark, root, _provider(300))
+    out = _triples(resumed.run(resume=True))
+    assert out == golden
+    # the torn record was recommitted whole
+    assert resumed.is_complete("entity_map")
+    assert resumed.state("entity_map")["n_rows_observed"] == resumed.state("entity_map")["n_rows"]
+
+
+def test_observed_counter_in_state(spark, tmp_path):
+    """Round-2 contract: every stage record carries the write-job Observation
+    counter and it equals the readback count."""
+    root = str(tmp_path / "ckpt6")
+    p = kg_pipeline(spark, root, _provider(200))
+    p.run()
+    for m in p.metrics():
+        assert m["n_rows_observed"] == m["n_rows"]
