@@ -223,62 +223,175 @@ SELECT vec_id, gold, pred FROM preds WHERE pred != gold
 
 def g3_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each 'click' event, the nearest 'purchase' by the same user in
-    time: equi-join on user_id then row_number over |Δt| — the reference's
-    argmin over the box-to-contour distance matrix as a min-join.
-    Scale: the equi-join keys co-locate; per-user candidate sets are bounded."""
-    ev = _read(spark, sf_dir, "events")
+    time — the reference's argmin over the box-to-contour distance matrix.
+
+    EXACT and linear via the as-of merge (round 1 joined clicks x purchases
+    per user — quadratic within a hot user): union both streams, one
+    per-user time-ordered window takes the last purchase at-or-before and
+    the first purchase after each click, and the nearer of the two IS the
+    global argmin (any other purchase is further in its direction).
+
+    Tie-break parity with argmin-(dt, purchase_id): purchases sharing a
+    (user, ts) are pre-collapsed to min purchase_id (equal dt => min id
+    wins), and a prev/next dt tie picks the smaller id of the two.
+    """
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(1).alias("kind"),
     )
-    buys = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.min("event_id").alias("purchase_id"))
+        .select(
+            "user_id",
+            "ts_us",
+            F.lit(None).cast("bigint").alias("click_id"),
+            "purchase_id",
+            F.lit(0).alias("kind"),  # purchase sorts first at equal ts -> dt=0 lands in prev
+        )
     )
-    j = clicks.join(buys, "user_id").withColumn(
-        "dt_us",
-        F.abs(
-            F.unix_micros(F.col("click_ts").cast("timestamp"))
-            - F.unix_micros(F.col("purchase_ts").cast("timestamp"))
-        ).cast("bigint"),
+    u = clicks.unionByName(buys)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w = Window.partitionBy("click_id").orderBy("dt_us", "purchase_id")
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "click_id", "purchase_id", "dt_us")
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind")
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+    cand = (
+        u.withColumn("prev_pid", F.last("purchase_id", ignorenulls=True).over(w_prev))
+        .withColumn(
+            "prev_ts",
+            F.last(
+                F.when(F.col("purchase_id").isNotNull(), F.col("ts_us")),
+                ignorenulls=True,
+            ).over(w_prev),
+        )
+        .withColumn("next_pid", F.first("purchase_id", ignorenulls=True).over(w_next))
+        .withColumn(
+            "next_ts",
+            F.first(
+                F.when(F.col("purchase_id").isNotNull(), F.col("ts_us")),
+                ignorenulls=True,
+            ).over(w_next),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    dt_prev = F.col("ts_us") - F.col("prev_ts")
+    dt_next = F.col("next_ts") - F.col("ts_us")
+    take_prev = F.col("prev_pid").isNotNull() & (
+        F.col("next_pid").isNull()
+        | (dt_prev < dt_next)
+        | ((dt_prev == dt_next) & (F.col("prev_pid") <= F.col("next_pid")))
+    )
+    return cand.select(
+        "user_id",
+        "click_id",
+        F.when(take_prev, F.col("prev_pid")).otherwise(F.col("next_pid")).alias("purchase_id"),
+        F.when(take_prev, dt_prev).otherwise(dt_next).cast("bigint").alias("dt_us"),
+    ).filter(F.col("purchase_id").isNotNull())
 
 
 G3_SQL = """
-SELECT user_id, click_id, purchase_id, dt_us FROM (
-  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-         abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dt_us,
-         row_number() OVER (PARTITION BY c.event_id
-                            ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), p.event_id) AS rn
-  FROM events c JOIN events p ON c.user_id = p.user_id
-  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-) WHERE rn = 1
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+clicks AS (
+  SELECT user_id, ts_us, event_id AS click_id,
+         CAST(NULL AS BIGINT) AS purchase_id, 1 AS kind
+  FROM ev WHERE event_type = 'click'
+),
+buys AS (
+  SELECT user_id, ts_us, CAST(NULL AS BIGINT) AS click_id,
+         min(event_id) AS purchase_id, 0 AS kind
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_us
+),
+u AS (SELECT * FROM clicks UNION ALL SELECT * FROM buys),
+cand AS (
+  SELECT *,
+         last_value(purchase_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_us, kind
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_pid,
+         last_value(CASE WHEN purchase_id IS NOT NULL THEN ts_us END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_us, kind
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+         first_value(purchase_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_us, kind
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pid,
+         first_value(CASE WHEN purchase_id IS NOT NULL THEN ts_us END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_us, kind
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM u
+)
+SELECT user_id, click_id,
+       CASE WHEN take_prev THEN prev_pid ELSE next_pid END AS purchase_id,
+       CAST(CASE WHEN take_prev THEN ts_us - prev_ts ELSE next_ts - ts_us END AS BIGINT) AS dt_us
+FROM (
+  SELECT *,
+         prev_pid IS NOT NULL AND (
+           next_pid IS NULL
+           OR (ts_us - prev_ts) < (next_ts - ts_us)
+           OR ((ts_us - prev_ts) = (next_ts - ts_us) AND prev_pid <= next_pid)
+         ) AS take_prev
+  FROM cand WHERE kind = 1
+)
+WHERE (CASE WHEN take_prev THEN prev_pid ELSE next_pid END) IS NOT NULL
 """
 
 
 # --- E2: band self-join / candidate generation (ref kie_utils.py:124-150) ----
 
+E2_BAND_US = 3_600_000_000  # 1 hour, also the time-bucket width
+
+
 def e2_band_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of same-user events within a 1-hour band — the reference's
-    |Δy| <= 3h edge pruning as a join predicate.  Equi-join on user_id
-    carries the band as a post-join filter; at corpus scale the band is
-    replaced by blocking keys (see operators/blocking.py)."""
+    |Δy| <= 3h edge pruning as a join predicate.
+
+    Blocked on (user_id, time_bucket): each event lands in buckets
+    {floor(t/B), floor(t/B)+1} with B = the band width, so any pair with
+    |Δt| <= B shares a bucket (bucket indices differ by <= 1 — lossless),
+    the join is a pure equi-join, and cross-bucket double-counts are
+    deduped.  Round 1 joined on user_id alone and filtered — quadratic
+    within a hot user; this is the same cure as interval_overlap_join."""
     ev = _read(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
-    a = ev.alias("a")
-    b = ev.alias("b")
+    B = F.lit(E2_BAND_US)
+    bucketed = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.explode(
+            F.array(F.floor(F.col("ts_us") / B), F.floor(F.col("ts_us") / B) + 1)
+        ).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
     return (
-        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
         .filter(
             (F.col("a.event_id") < F.col("b.event_id"))
-            & (F.abs(F.col("a.ts_us") - F.col("b.ts_us")) <= F.lit(3_600_000_000))
+            & (F.abs(F.col("a.ts_us") - F.col("b.ts_us")) <= F.lit(E2_BAND_US))
         )
         .select(
             F.col("a.user_id").alias("user_id"),
@@ -286,15 +399,26 @@ def e2_band_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.event_id").alias("dst_id"),
             (F.col("b.ts_us") - F.col("a.ts_us")).cast("bigint").alias("delta_us"),
         )
+        .distinct()
     )
 
 
-E2_SQL = """
-SELECT a.user_id AS user_id, a.event_id AS src_id, b.event_id AS dst_id,
-       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
-FROM events a JOIN events b ON a.user_id = b.user_id
+E2_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+bucketed AS (
+  SELECT user_id, event_id, ts_us,
+         unnest([CAST(floor(ts_us / {E2_BAND_US}) AS BIGINT),
+                 CAST(floor(ts_us / {E2_BAND_US}) AS BIGINT) + 1]) AS bucket
+  FROM ev
+)
+SELECT DISTINCT a.user_id AS user_id, a.event_id AS src_id, b.event_id AS dst_id,
+       b.ts_us - a.ts_us AS delta_us
+FROM bucketed a JOIN bucketed b
+  ON a.user_id = b.user_id AND a.bucket = b.bucket
 WHERE a.event_id < b.event_id
-  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+  AND abs(a.ts_us - b.ts_us) <= {E2_BAND_US}
 """
 
 
