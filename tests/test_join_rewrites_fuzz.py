@@ -1,0 +1,95 @@
+"""The three scale-rewritten joins (as-of g3, bucketed e2, bucketed interval
+overlap) must equal their naive quadratic formulations on ARBITRARY inputs,
+not just the fixture.  Hypothesis generates random event tables; both
+formulations run in DuckDB (the Spark twins are hash-compared to these same
+SQL strings by the harness, so equality here transfers)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from kie_invoice_minimal_spark.operators.relational import E2_SQL, G3_SQL
+from kie_invoice_minimal_spark.operators.relational_ext import INTERVAL_OVERLAP_SQL
+
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=4),  # user_id (few users -> collisions)
+    st.sampled_from(["click", "purchase", "view"]),
+    st.integers(min_value=0, max_value=60_000),  # ts offset seconds (~16h span)
+    st.floats(min_value=0.01, max_value=500.0, allow_nan=False),
+)
+
+
+def _con(rows):
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta([r[2] for r in rows], unit="s"),
+            "value": [round(r[3], 2) for r in rows],
+            "props": "",
+        }
+    )
+    con = duckdb.connect()
+    con.register("events_pdf", pdf)
+    con.execute("CREATE VIEW events AS SELECT * FROM events_pdf")
+    return con
+
+
+NAIVE_G3 = """
+SELECT user_id, click_id, purchase_id, dt_us FROM (
+  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+         abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dt_us,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), p.event_id) AS rn
+  FROM events c JOIN events p ON c.user_id = p.user_id
+  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+) WHERE rn = 1
+"""
+
+NAIVE_E2 = """
+SELECT a.user_id AS user_id, a.event_id AS src_id, b.event_id AS dst_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_id < b.event_id
+  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+"""
+
+NAIVE_INTERVAL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 600000 AS e_us
+  FROM events
+)
+SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+       least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+FROM ev a JOIN ev b ON a.user_id = b.user_id
+WHERE a.event_id < b.event_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+"""
+
+
+def _rows(con, sql):
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(EVENT, min_size=0, max_size=40))
+def test_g3_asof_equals_naive_argmin(rows):
+    con = _con(rows)
+    assert _rows(con, G3_SQL) == _rows(con, NAIVE_G3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(EVENT, min_size=0, max_size=40))
+def test_e2_bucketed_equals_naive_band(rows):
+    con = _con(rows)
+    assert _rows(con, E2_SQL) == _rows(con, NAIVE_E2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(EVENT, min_size=0, max_size=40))
+def test_interval_bucketed_equals_naive(rows):
+    con = _con(rows)
+    assert _rows(con, INTERVAL_OVERLAP_SQL) == _rows(con, NAIVE_INTERVAL)
