@@ -131,8 +131,12 @@ DD_MINHASH_SIG_SQL = _minhash_sig_sql()
 
 
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing >= 1 MinHash band bucket."""
-    sig = dd_minhash_signatures(spark, sf_dir)
+    """LSH candidate pairs: docs sharing >= 1 MinHash band bucket.
+
+    The signature table is repartitioned once so the band self-join's two
+    sides share ONE exchange (ReusedExchange) — without it each side
+    recomputes the full md5-per-shingle pass (A/B at sf0.1: ~2x)."""
+    sig = dd_minhash_signatures(spark, sf_dir).repartition("doc_id")
     r = MINHASH_K // MINHASH_BANDS
     bands = sig.select(
         "doc_id",
@@ -260,14 +264,22 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       - prefix filter itself (t = 0.5 -> prefix is floor(n/2) + 1 hashes);
       - size-ratio: J <= min/max, so 2*min(n_a, n_b) >= max is necessary.
     """
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        # intersect hashed longs, not strings — same Jaccard (both engines
-        # hash identically), far cheaper set ops
-        F.array_sort(
-            F.transform(_tok_shingles(F.col("text")), lambda g: mdhash_spark(g))
-        ).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            # intersect hashed longs, not strings — same Jaccard (both engines
+            # hash identically), far cheaper set ops
+            F.array_sort(
+                F.transform(_tok_shingles(F.col("text")), lambda g: mdhash_spark(g))
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        # one shuffle makes this node a shared exchange for all three
+        # consumers (prefix index, both verify sides) — otherwise each
+        # branch re-runs the md5-per-shingle scan (A/B at sf0.1: 7.7s -> 3.7s)
+        .repartition("doc_id")
+    )
     # prefix length for threshold t: n - ceil(t*n) + 1; at t=0.5 that is
     # floor(n/2) + 1 (integer identity n - ceil(n/2) = floor(n/2))
     pref = d.select(
@@ -387,6 +399,9 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x))
         )
+        # NO repartition here: the vector table is small and the cost lives
+        # in the pair verify, not the scan — a forced exchange measured
+        # ~1.8x SLOWER (it changes AQE's join planning downstream)
     )
     bands = e.select(
         "vec_id", F.explode(_dd_cos_band_structs()).alias("bd")
@@ -467,16 +482,68 @@ def dd_lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sub-quadratic) followed by exact Jaccard verification at JACCARD_THS.
     Contract: may miss pairs whose signatures never collide (P(miss) at
     J=0.5 with 4x2 bands documented in blocking.py terms) — the price of
-    never materializing the quadratic pair space."""
-    cand = dd_minhash_lsh_pairs(spark, sf_dir)
-    sh = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.array_sort(
-            F.transform(_tok_shingles(F.col("text")), lambda g: mdhash_spark(g))
-        ).alias("sh"),
+    never materializing the quadratic pair space.
+
+    One md5 pass total: the hashed-shingle base is repartitioned once and
+    BOTH the signature derivation (hb = sh % P — identical values to
+    mdhash(g) % P since sh IS mdhash(g)) and the two verify sides hang off
+    that shared exchange."""
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.transform(_tok_shingles(F.col("text")), lambda g: mdhash_spark(g))
+            ).alias("sh"),
+        )
+        .repartition("doc_id")
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sigd = base.withColumn("hb", F.transform("sh", lambda h: h % _MH_P))
+
+    def _affine(i: int):
+        a_, b_ = _MH_A[i], _MH_B[i]
+        return lambda h: (h * a_ + b_) % _MH_P
+
+    sig = sigd.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hb", _affine(i))).alias(f"mh_{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+    r = MINHASH_K // MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).alias("band_no"),
+                        mdhash_spark(
+                            F.concat_ws(
+                                ",",
+                                *[F.col(f"mh_{j}").cast("string") for j in range(bb * r, (bb + 1) * r)],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for bb in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_no", "bd.bkey")
+    ba, bb_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb_,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     j = cand.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
