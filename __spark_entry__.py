@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_verified_dups": DD.dd_lsh_verified_dups,
         "dd_embedding_cosine": DD.dd_embedding_cosine,
         "dd_dup_clusters": DD.dd_dup_clusters,
+        "dd_band_clusters": DD.dd_band_clusters,
         # similarity search
         "ss_topk_bruteforce": SS.ss_topk_bruteforce,
         "ss_lsh_buckets": SS.ss_lsh_buckets,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_lsh_verified_dups": DD.DD_LSH_VERIFIED_SQL,
         "dd_embedding_cosine": DD.DD_EMBEDDING_COSINE_SQL,
         "dd_dup_clusters": DD.DD_DUP_CLUSTERS_SQL,
+        "dd_band_clusters": DD.DD_BAND_CLUSTERS_SQL,
         "ss_topk_bruteforce": SS.SS_TOPK_SQL,
         "ss_lsh_buckets": SS.SS_LSH_BUCKETS_SQL,
         "ss_lsh_ann": SS.SS_LSH_ANN_SQL,

@@ -610,3 +610,124 @@ SELECT node AS doc_id, min(comp) AS cluster_id,
        node = min(comp) AS is_keeper
 FROM reach GROUP BY node
 """
+
+
+# --- bipartite band clustering: dedup clusters WITHOUT pairwise candidates ----------
+
+_BAND_NODE_MOD = 1 << 40  # bucket-node id space (negative side)
+
+
+def dd_band_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PRE-clusters with NO pairwise materialization: connected
+    components over the doc <-> band-bucket BIPARTITE graph (edges = one row
+    per (doc, band bucket), O(docs x bands)); docs sharing any band bucket
+    land in one component transitively.
+
+    This is the 100 TB escape hatch when even LSH candidate PAIRS are too
+    many (a k-doc near-dup family yields k^2/2 pairs but only k bipartite
+    edges).  Precision is lower than the verify cascade — transitive band
+    connectivity, no Jaccard check — so production uses it as the recall
+    stage feeding per-cluster verification; dd_lsh_verified_dups /
+    dd_dup_clusters remain the precision path.
+
+    Bucket nodes live on the negative id side (-1 - hash % 2^40), so they
+    can never collide with doc ids; cluster_id is relabeled to the min doc
+    of each component.
+    """
+    from .connected_components import connected_components
+
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.transform(_tok_shingles(F.col("text")), lambda g: mdhash_spark(g))
+            ).alias("sh"),
+        )
+        .repartition("doc_id")
+    )
+    sigd = base.withColumn("hb", F.transform("sh", lambda h: h % _MH_P))
+
+    def _affine(i: int):
+        a_, b_ = _MH_A[i], _MH_B[i]
+        return lambda h: (h * a_ + b_) % _MH_P
+
+    sig = sigd.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hb", _affine(i))).alias(f"mh_{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+    r = MINHASH_K // MINHASH_BANDS
+    edges = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        mdhash_spark(
+                            F.concat_ws(
+                                ",",
+                                *[F.col(f"mh_{j}").cast("string") for j in range(bb * r, (bb + 1) * r)],
+                            )
+                        )
+                        + F.lit(bb * 1_000_003)
+                    )
+                    for bb in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bnode_raw"),
+    ).select(
+        F.col("doc_id").alias("u"),
+        (F.lit(-1) - F.pmod(F.col("bnode_raw"), F.lit(_BAND_NODE_MOD))).alias("v"),
+    )
+    cc = connected_components(edges)  # node, component (min node = a bucket id)
+    docs = cc.filter(F.col("node") >= 0)
+    relabel = docs.groupBy("component").agg(F.min("node").alias("cluster_id"))
+    return (
+        docs.join(relabel, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+        )
+    )
+
+
+def _band_clusters_sql() -> str:
+    r = MINHASH_K // MINHASH_BANDS
+    band_nodes = ", ".join(
+        "({h} + {off})".format(
+            h=MDHASH_SQL(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(mh_{j} AS VARCHAR)" for j in range(bb * r, (bb + 1) * r))
+                + ")"
+            ),
+            off=bb * 1_000_003,
+        )
+        for bb in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH RECURSIVE sigs AS ({DD_MINHASH_SIG_SQL.strip()}),
+edges AS (
+  SELECT doc_id AS u,
+         -1 - (unnest([{band_nodes}]) % {_BAND_NODE_MOD}) AS v
+  FROM sigs
+),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+reach(node, comp) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.node
+),
+assign AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+docs AS (SELECT node, component FROM assign WHERE node >= 0),
+relabel AS (SELECT component, min(node) AS cluster_id FROM docs GROUP BY component)
+SELECT d.node AS doc_id, r2.cluster_id AS cluster_id,
+       d.node = r2.cluster_id AS is_keeper
+FROM docs d JOIN relabel r2 USING (component)
+"""
+
+
+DD_BAND_CLUSTERS_SQL = _band_clusters_sql()

@@ -95,3 +95,14 @@ def test_dup_clusters_partition_pairs(spark):
     assert {k: v[0] for k, v in got.items()} == want_min
     for doc, (cid, keep) in got.items():
         assert keep == (doc == cid)
+
+
+def test_band_clusters_coarsen_verified_clusters(spark):
+    """Bipartite band clustering is the recall stage: any LSH-verified dup
+    pair shares a band, hence the same band cluster — band clusters must be
+    a coarsening of the verified-pair clusters."""
+    from kie_invoice_minimal_spark.operators.dedup import dd_band_clusters
+
+    bc = {r.doc_id: r.cluster_id for r in dd_band_clusters(spark, SF).collect()}
+    for r in dd_lsh_verified_dups(spark, SF).collect():
+        assert bc[r.doc_a] == bc[r.doc_b], (r.doc_a, r.doc_b)
