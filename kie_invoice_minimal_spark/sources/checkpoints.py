@@ -78,6 +78,7 @@ class CheckpointedPipeline:
         return self.spark.read.parquet(self._data_dir(stage))
 
     def _write_stage(self, name: str, df: DataFrame) -> DataFrame:
+        t_start = time.time()
         out = self._data_dir(name)
         # counter metric riding the WRITE job itself (no extra action): the
         # Observation resolves once the write finishes, giving the row count
@@ -112,6 +113,9 @@ class CheckpointedPipeline:
             "n_rows_observed": n_written,
             "n_partitions": len(lineage),
             "partition_rows": lineage,
+            # per-stage wall time — the reference's @timer instrumentation
+            # (backend_utils.py:30-40) lifted into the state record
+            "wall_sec": round(time.time() - t_start, 3),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         tmp = self._state_path(name) + ".tmp"
