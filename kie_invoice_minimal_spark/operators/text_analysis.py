@@ -199,3 +199,84 @@ SELECT doc_id,
        {MDHASH_SQL("array_to_string(shset, chr(1))")} AS shingle_fp
 FROM sh
 """
+
+
+# --- end-to-end corpus curation --------------------------------------------------
+
+def ta_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pass every corpus pipeline ships:
+    exact-dedup keepers only (min doc_id per content fingerprint), quality
+    score >= 2, language ID != 'und' — emitting the curated doc list with
+    its audit columns.  One declarative plan: the dedup groupBy is the only
+    wide exchange; quality/lang are narrow maps fused into the same scan."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS_EN)))
+    score = (
+        F.when((n >= 20) & (n <= 1000), F.lit(1)).otherwise(F.lit(0))
+        + F.when((sw * 100) >= n * 2, F.lit(1)).otherwise(F.lit(0))
+        + F.when(F.length("text") * 10 >= n * 30, F.lit(1)).otherwise(F.lit(0))
+    )
+    ltoks = F.split(F.lower(F.col("text")), " ")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(ltoks, lambda t: t.isin(*prof))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, prof in sorted(PROFILES.items())
+        ]
+    )
+    best = F.array_max(pairs)
+    scored = d.select(
+        "doc_id",
+        mdhash_spark(F.col("text")).alias("text_fp"),
+        score.cast("int").alias("quality_score"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+    keepers = scored.groupBy("text_fp").agg(F.min("doc_id").alias("keep_doc_id"))
+    return (
+        scored.join(keepers, "text_fp")
+        .filter(
+            (F.col("doc_id") == F.col("keep_doc_id"))
+            & (F.col("quality_score") >= 2)
+            & (F.col("lang_pred") != "und")
+        )
+        .select("doc_id", "quality_score", "lang_pred", "text_fp")
+    )
+
+
+def _curate_sql() -> str:
+    sw_list = ",".join(repr(s) for s in STOPWORDS_EN)
+    structs = ", ".join(
+        "struct_pack(hits := len(list_filter(string_split(lower(text), ' '), "
+        f"t -> t IN ({','.join(repr(w) for w in prof)}))), lang := '{lang}')"
+        for lang, prof in sorted(PROFILES.items())
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {MDHASH_SQL('text')} AS text_fp,
+         CAST(
+           (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
+         + (CASE WHEN len(list_filter(string_split(text,' '),
+                    t -> lower(t) IN ({sw_list}))) * 100
+                 >= len(string_split(text,' ')) * 2 THEN 1 ELSE 0 END)
+         + (CASE WHEN length(text) * 10 >= len(string_split(text,' ')) * 30
+                 THEN 1 ELSE 0 END) AS INTEGER) AS quality_score,
+         list_max([{structs}]) AS best
+  FROM documents
+),
+scored2 AS (
+  SELECT doc_id, text_fp, quality_score,
+         CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+  FROM scored
+),
+keepers AS (SELECT text_fp, min(doc_id) AS keep_doc_id FROM scored2 GROUP BY text_fp)
+SELECT s.doc_id, s.quality_score, s.lang_pred, s.text_fp
+FROM scored2 s JOIN keepers k USING (text_fp)
+WHERE s.doc_id = k.keep_doc_id AND s.quality_score >= 2 AND s.lang_pred != 'und'
+"""
+
+
+TA_CURATE_SQL = _curate_sql()
