@@ -150,3 +150,23 @@ def streaming_triples(transcripts: DataFrame, gap: str = "30 minutes") -> DataFr
             F.col("sw.start").alias("session_start"),
         )
     )
+
+
+def streaming_exact_dedup(transcripts: DataFrame) -> DataFrame:
+    """Streaming ingestion dedup — the streaming twin of dd_exact: drop
+    turns whose content fingerprint was already seen, with state bounded by
+    the watermark (a duplicate arriving later than the watermark delay is
+    passed through rather than remembered forever — the documented
+    trade-off of bounded-state streaming dedup).
+
+    Uses dropDuplicatesWithinWatermark so Spark evicts fingerprint state
+    once the watermark passes; at 10^12-turn scale unbounded dedup state is
+    the classic streaming OOM."""
+    from pyspark.sql import functions as F
+
+    fp = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")
+    return (
+        transcripts.withColumn("text_fp", fp)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["text_fp"])
+    )

@@ -210,3 +210,46 @@ def test_streaming_triples_finalize_on_quiet(spark, tmp_path):
     )
     want = {(r.conv_id, r.mention_type, r.obj, r.ws) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streamed bounded-state dedup: within the watermark horizon the stream
+    keeps exactly one row per content fingerprint (the batch dd_exact
+    semantics on this fixture, whose duplicates arrive close together)."""
+    from kie_invoice_minimal_spark.streaming.stream_pipeline import (
+        read_transcript_stream,
+        streaming_exact_dedup,
+    )
+
+    in_dir = str(tmp_path / "in6")
+    ckpt = str(tmp_path / "ckpt6")
+    t = synth_transcripts(spark, 400)
+    t.filter("turn_idx < 2").write.mode("append").parquet(in_dir)
+    t.filter("turn_idx >= 2").write.mode("append").parquet(in_dir)
+
+    q = (
+        streaming_exact_dedup(read_transcript_stream(spark, in_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT text_fp, count(*) AS n FROM sdedup_test GROUP BY 1").collect()
+    finally:
+        q.stop()
+    # one row per fingerprint, and the fingerprint set equals the batch one
+    assert all(r.n == 1 for r in got)
+    batch_fps = {
+        r.text_fp
+        for r in t.select(
+            F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("text_fp")
+        )
+        .distinct()
+        .collect()
+    }
+    assert {r.text_fp for r in got} == batch_fps
