@@ -11,8 +11,9 @@ Scale notes:
 - MinHash LSH: signatures are narrow maps; the only join is the band-bucket
   self-join — same shape as operators/blocking.py, block caps + AQE skew;
 - n-gram Jaccard is EXACT yet sub-quadratic via prefix filtering (All-Pairs/
-  PPJoin): only the first floor(n/2)+1 sorted shingle hashes are indexed —
-  lossless at t=0.5 — and the equi-join on prefix hash yields the candidates;
+  PPJoin): only the first n - ceil(t*n) + 1 sorted shingle hashes are
+  indexed (lossless; prefix length, size prune and verify all derive from
+  the (JACCARD_NUM, JACCARD_DEN) fraction with exact integer arithmetic);
 - embedding-cosine blocks on banded hyperplane LSH (n^(1+rho) trade), never
   on a fixed-cardinality attribute;
 - dup clusters: connected components over verified pairs, keeper = min doc.
@@ -28,7 +29,13 @@ from .text_analysis import MDHASH_SQL, mdhash_spark
 MINHASH_K = 8  # signature length
 MINHASH_BANDS = 4  # bands of 2 rows
 SIMHASH_BITS = 16
-JACCARD_THS = 0.5
+# Jaccard threshold as an EXACT fraction: the prefix-filter length, the
+# size-ratio prune, and the verify comparison are all derived from
+# (NUM, DEN) with integer arithmetic, so changing the threshold cannot
+# silently decouple them (J >= t  <=>  inter * DEN >= union * NUM, exact —
+# no float rounding at the boundary).
+JACCARD_NUM, JACCARD_DEN = 1, 2
+JACCARD_THS = JACCARD_NUM / JACCARD_DEN  # display/doc value
 COSINE_THS = 0.4  # synthetic embeddings are near-orthogonal; 0.4 marks the planted near-pairs
 
 
@@ -92,6 +99,63 @@ def _base_hashes(sh_col: str = "sh"):
     return F.transform(sh_col, lambda g: mdhash_spark(g) % _MH_P)
 
 
+
+
+def _affine_mh(i: int):
+    """i-th affine MinHash transform (closure factory — NEVER a default-arg
+    lambda inside transform(), see CLAUDE.md)."""
+    a, b = _MH_A[i], _MH_B[i]
+    return lambda h: (h * a + b) % _MH_P
+
+
+def _sig_cols(hb_col: str = "hb", k: int = MINHASH_K):
+    """MinHash signature columns mh_0..mh_{k-1} from a base-hash array."""
+    return [
+        F.array_min(F.transform(hb_col, _affine_mh(i))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+
+
+_MH_R = MINHASH_K // MINHASH_BANDS  # rows per band
+
+
+def _band_struct_array():
+    """array<struct(band_no, bkey)> from the mh_i signature columns — the
+    ONE definition of the band scheme; dd_minhash_lsh_pairs,
+    dd_lsh_verified_dups and dd_band_clusters must all derive bit-identical
+    band keys (the cross-operator subset/coarsening tests depend on it)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                mdhash_spark(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"mh_{j}").cast("string") for j in range(b * _MH_R, (b + 1) * _MH_R)],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+
+
+def _band_key_sql(b: int) -> str:
+    """SQL twin of one band's bkey."""
+    return MDHASH_SQL(
+        "concat_ws(',', "
+        + ", ".join(f"CAST(mh_{j} AS VARCHAR)" for j in range(b * _MH_R, (b + 1) * _MH_R))
+        + ")"
+    )
+
+
+def _band_structs_sql() -> str:
+    return ", ".join(
+        f"struct_pack(band_no := {b}, bkey := {_band_key_sql(b)})"
+        for b in range(MINHASH_BANDS)
+    )
+
+
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature over token 3-gram shingles (md5-portable)."""
     d = (
@@ -99,16 +163,7 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sh", _tok_shingles(F.col("text")))
         .withColumn("hb", _base_hashes())
     )
-
-    def _affine(i: int):
-        a, b = _MH_A[i], _MH_B[i]
-        return lambda h: (h * a + b) % _MH_P
-
-    sig = [
-        F.array_min(F.transform("hb", _affine(i))).alias(f"mh_{i}")
-        for i in range(MINHASH_K)
-    ]
-    return d.select("doc_id", *sig)
+    return d.select("doc_id", *_sig_cols())
 
 
 def _minhash_sig_sql() -> str:
@@ -137,24 +192,8 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides share ONE exchange (ReusedExchange) — without it each side
     recomputes the full md5-per-shingle pass (A/B at sf0.1: ~2x)."""
     sig = dd_minhash_signatures(spark, sf_dir).repartition("doc_id")
-    r = MINHASH_K // MINHASH_BANDS
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_no"),
-                        mdhash_spark(
-                            F.concat_ws(
-                                ",", *[F.col(f"mh_{j}").cast("string") for j in range(b * r, (b + 1) * r)]
-                            )
-                        ).alias("bkey"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bd"),
+        "doc_id", F.explode(_band_struct_array()).alias("bd")
     ).select("doc_id", "bd.band_no", "bd.bkey")
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -172,22 +211,10 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_sql() -> str:
-    r = MINHASH_K // MINHASH_BANDS
-    band_structs = ", ".join(
-        "struct_pack(band_no := {b}, bkey := {h})".format(
-            b=b,
-            h=MDHASH_SQL(
-                "concat_ws(',', "
-                + ", ".join(f"CAST(mh_{j} AS VARCHAR)" for j in range(b * r, (b + 1) * r))
-                + ")"
-            ),
-        )
-        for b in range(MINHASH_BANDS)
-    )
     return f"""
 WITH sigs AS ({DD_MINHASH_SIG_SQL.strip()}),
 bands AS (
-  SELECT doc_id, unnest([{band_structs}]) AS bd FROM sigs
+  SELECT doc_id, unnest([{_band_structs_sql()}]) AS bd FROM sigs
 ),
 flat AS (SELECT doc_id, bd.band_no AS band_no, bd.bkey AS bkey FROM bands)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -280,12 +307,16 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branch re-runs the md5-per-shingle scan (A/B at sf0.1: 7.7s -> 3.7s)
         .repartition("doc_id")
     )
-    # prefix length for threshold t: n - ceil(t*n) + 1; at t=0.5 that is
-    # floor(n/2) + 1 (integer identity n - ceil(n/2) = floor(n/2))
+    # prefix length for threshold t = NUM/DEN: n - ceil(t*n) + 1, all
+    # integer arithmetic so the prefix, the prune and the verify stay tied
+    # to the SAME threshold constants
+    ceil_tn = F.floor((F.col("n_sh") * JACCARD_NUM + JACCARD_DEN - 1) / JACCARD_DEN)
     pref = d.select(
         "doc_id",
         "n_sh",
-        F.explode(F.slice("sh", F.lit(1), F.floor(F.col("n_sh") / 2) + 1)).alias("h"),
+        F.explode(
+            F.slice("sh", F.lit(1), F.col("n_sh") - ceil_tn + 1)
+        ).alias("h"),
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
@@ -293,7 +324,12 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least("a.n_sh", "b.n_sh") * 2 >= F.greatest("a.n_sh", "b.n_sh")),
+            # lossless size-ratio prune: J <= min/max, so J >= NUM/DEN
+            # requires min * DEN >= max * NUM (exact integer compare)
+            & (
+                F.least("a.n_sh", "b.n_sh") * JACCARD_DEN
+                >= F.greatest("a.n_sh", "b.n_sh") * JACCARD_NUM
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -304,8 +340,13 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.round(inter.cast("double") / union, 6)
-    return j.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_THS
+    # threshold on the EXACT integer comparison (inter*DEN >= union*NUM) —
+    # the prefix lemma guarantees candidates for exact J >= t; filtering on
+    # round(j, 6) would admit pairs just UNDER t that the prefix may not
+    # generate (rounding-boundary hole at ~1e6-shingle scale)
+    return (
+        j.filter(inter * JACCARD_DEN >= union * JACCARD_NUM)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -318,23 +359,24 @@ WITH t AS (
 sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t),
 pref AS (
   SELECT doc_id, n_sh,
-         unnest(list_slice(sh, 1, CAST(floor(n_sh / 2) AS BIGINT) + 1)) AS h
+         unnest(list_slice(sh, 1,
+           CAST(n_sh - floor((n_sh * {JACCARD_NUM} + {JACCARD_DEN} - 1)
+                             / {JACCARD_DEN}) + 1 AS BIGINT))) AS h
   FROM sized
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pref a JOIN pref b
     ON a.h = b.h AND a.doc_id < b.doc_id
-   AND least(a.n_sh, b.n_sh) * 2 >= greatest(a.n_sh, b.n_sh)
+   AND least(a.n_sh, b.n_sh) * {JACCARD_DEN} >= greatest(a.n_sh, b.n_sh) * {JACCARD_NUM}
 )
 SELECT c.doc_a, c.doc_b,
        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
          AS jaccard
 FROM cand c JOIN sized a ON a.doc_id = c.doc_a JOIN sized b ON b.doc_id = c.doc_b
-WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-      >= {JACCARD_THS}
+WHERE len(list_intersect(a.sh, b.sh)) * {JACCARD_DEN}
+      >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {JACCARD_NUM}
 """
 
 
@@ -499,37 +541,9 @@ def dd_lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("doc_id")
     )
     sigd = base.withColumn("hb", F.transform("sh", lambda h: h % _MH_P))
-
-    def _affine(i: int):
-        a_, b_ = _MH_A[i], _MH_B[i]
-        return lambda h: (h * a_ + b_) % _MH_P
-
-    sig = sigd.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hb", _affine(i))).alias(f"mh_{i}")
-            for i in range(MINHASH_K)
-        ],
-    )
-    r = MINHASH_K // MINHASH_BANDS
+    sig = sigd.select("doc_id", *_sig_cols())
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bb).alias("band_no"),
-                        mdhash_spark(
-                            F.concat_ws(
-                                ",",
-                                *[F.col(f"mh_{j}").cast("string") for j in range(bb * r, (bb + 1) * r)],
-                            )
-                        ).alias("bkey"),
-                    )
-                    for bb in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bd"),
+        "doc_id", F.explode(_band_struct_array()).alias("bd")
     ).select("doc_id", "bd.band_no", "bd.bkey")
     ba, bb_ = bands.alias("a"), bands.alias("b")
     cand = (
@@ -545,11 +559,12 @@ def dd_lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     j = cand.join(a, "doc_a").join(b, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    jac = F.round(inter / union, 6)
-    return j.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_THS
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        j.filter(inter * JACCARD_DEN >= union * JACCARD_NUM)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -565,9 +580,8 @@ SELECT c.doc_a, c.doc_b,
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
          AS jaccard
 FROM cand c JOIN sh_t a ON a.doc_id = c.doc_a JOIN sh_t b ON b.doc_id = c.doc_b
-WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-      >= {JACCARD_THS}
+WHERE len(list_intersect(a.sh, b.sh)) * {JACCARD_DEN}
+      >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {JACCARD_NUM}
 """
 
 
@@ -647,35 +661,16 @@ def dd_band_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("doc_id")
     )
     sigd = base.withColumn("hb", F.transform("sh", lambda h: h % _MH_P))
-
-    def _affine(i: int):
-        a_, b_ = _MH_A[i], _MH_B[i]
-        return lambda h: (h * a_ + b_) % _MH_P
-
-    sig = sigd.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hb", _affine(i))).alias(f"mh_{i}")
-            for i in range(MINHASH_K)
-        ],
-    )
-    r = MINHASH_K // MINHASH_BANDS
+    sig = sigd.select("doc_id", *_sig_cols())
+    # bucket node = the SAME band key the pairwise LSH uses (shared
+    # _band_struct_array definition) + a per-band offset, so band clusters
+    # provably coarsen the verified-pair clusters
     edges = sig.select(
         "doc_id",
         F.explode(
-            F.array(
-                *[
-                    (
-                        mdhash_spark(
-                            F.concat_ws(
-                                ",",
-                                *[F.col(f"mh_{j}").cast("string") for j in range(bb * r, (bb + 1) * r)],
-                            )
-                        )
-                        + F.lit(bb * 1_000_003)
-                    )
-                    for bb in range(MINHASH_BANDS)
-                ]
+            F.transform(
+                _band_struct_array(),
+                lambda bd: bd["bkey"] + bd["band_no"] * 1_000_003,
             )
         ).alias("bnode_raw"),
     ).select(
@@ -696,17 +691,8 @@ def dd_band_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_clusters_sql() -> str:
-    r = MINHASH_K // MINHASH_BANDS
     band_nodes = ", ".join(
-        "({h} + {off})".format(
-            h=MDHASH_SQL(
-                "concat_ws(',', "
-                + ", ".join(f"CAST(mh_{j} AS VARCHAR)" for j in range(bb * r, (bb + 1) * r))
-                + ")"
-            ),
-            off=bb * 1_000_003,
-        )
-        for bb in range(MINHASH_BANDS)
+        f"({_band_key_sql(bb)} + {bb * 1_000_003})" for bb in range(MINHASH_BANDS)
     )
     return f"""
 WITH RECURSIVE sigs AS ({DD_MINHASH_SIG_SQL.strip()}),

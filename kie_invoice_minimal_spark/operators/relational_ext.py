@@ -1020,9 +1020,13 @@ SELECT user_id, event_id, score, tier FROM m WHERE tier = min_tier
 
 # --- interval-overlap join ---------------------------------------------------------------
 
-# bucket width must be >= the max interval length so an interval touches at
-# most 2 buckets and every overlapping pair shares >= 1 bucket (lossless).
-# value <= 500 (2dp) minutes -> intervals <= 500 min; 512 min in micros:
+# Blocking is lossless for ANY interval length: each interval explodes into
+# EVERY bucket it touches (F.sequence over its full span), so two
+# overlapping intervals always share the bucket containing an overlap
+# point.  The width only bounds the explode factor — ~2 buckets per
+# interval when width >= the typical interval (sf0.1 max is 560 min, i.e.
+# occasionally 3 buckets; correctness is unaffected, fuzz-pinned with
+# values up to 700 min in test_join_rewrites_fuzz).
 INTERVAL_BUCKET_US = 512 * 60 * 1_000_000
 
 
@@ -1031,9 +1035,9 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     [ts, ts + value minutes]; emit overlapping same-user pairs.
 
     The range-join class, made scale-safe with TIME-BUCKET blocking
-    (SURVEY.md §4 band-key emulation): each interval explodes into the
-    <= 2 fixed-width time buckets it touches (width >= max interval length,
-    so the blocking is lossless), the join is an equi-join on
+    (SURVEY.md §4 band-key emulation): each interval explodes into ALL the
+    fixed-width time buckets it touches (lossless for any length — see the
+    INTERVAL_BUCKET_US note), the join is an equi-join on
     (user_id, bucket), and cross-bucket double-counts are deduped.  A user
     with millions of events no longer produces a per-user cross product —
     pairs are bounded by co-occupancy of 8.5-hour windows.  (Round 1

@@ -66,12 +66,14 @@ FROM documents
 """
 
 
-# --- quality scoring ----------------------------------------------------------
 
-def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic quality heuristics: length band, stopword ratio,
-    mean token length.  Integer/exact arithmetic where hashes must match."""
-    d = _docs(spark, sf_dir)
+
+# --- shared expression builders (single source of truth for quality + lang,
+# used by ta_quality_score / ta_lang_id AND the composed ta_curate_corpus so
+# the curation pass cannot drift from the standalone operators) -------------
+
+def quality_score_expr():
+    """(n_tokens, n_stopwords, quality_score) column expressions."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS_EN)))
@@ -80,6 +82,48 @@ def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when((sw * 100) >= n * 2, F.lit(1)).otherwise(F.lit(0))  # >=2% stopwords
         + F.when(F.length("text") * 10 >= n * 30, F.lit(1)).otherwise(F.lit(0))
     )
+    return n, sw, score
+
+
+def lang_best_expr():
+    """struct(hits, lang) of the argmax language profile (ties -> max lang)."""
+    ltoks = F.split(F.lower(F.col("text")), " ")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(ltoks, lambda t: t.isin(*prof))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, prof in sorted(PROFILES.items())
+        ]
+    )
+    return F.array_max(pairs)
+
+
+_SW_SQL = ",".join(repr(s) for s in STOPWORDS_EN)
+
+QUALITY_SCORE_SQL = f"""CAST(
+         (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
+       + (CASE WHEN len(list_filter(string_split(text,' '),
+                  t -> lower(t) IN ({_SW_SQL}))) * 100
+               >= len(string_split(text,' ')) * 2 THEN 1 ELSE 0 END)
+       + (CASE WHEN length(text) * 10 >= len(string_split(text,' ')) * 30
+               THEN 1 ELSE 0 END) AS INTEGER)"""
+
+LANG_BEST_SQL = "list_max([" + ", ".join(
+    "struct_pack(hits := len(list_filter(string_split(lower(text), ' '), "
+    f"t -> t IN ({','.join(repr(w) for w in prof)}))), lang := '{lang}')"
+    for lang, prof in sorted(PROFILES.items())
+) + "])"
+
+
+# --- quality scoring ----------------------------------------------------------
+
+def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristics: length band, stopword ratio,
+    mean token length.  Integer/exact arithmetic where hashes must match."""
+    d = _docs(spark, sf_dir)
+    n, sw, score = quality_score_expr()
     return d.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
@@ -92,15 +136,8 @@ TA_QUALITY_SQL = f"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        len(list_filter(string_split(text, ' '),
-                       t -> lower(t) IN ({",".join(repr(s) for s in STOPWORDS_EN)})))
-         AS n_stopwords,
-       CAST(
-         (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
-       + (CASE WHEN len(list_filter(string_split(text,' '),
-                  t -> lower(t) IN ({",".join(repr(s) for s in STOPWORDS_EN)}))) * 100
-               >= len(string_split(text,' ')) * 2 THEN 1 ELSE 0 END)
-       + (CASE WHEN length(text) * 10 >= len(string_split(text,' ')) * 30
-               THEN 1 ELSE 0 END) AS INTEGER) AS quality_score
+                       t -> lower(t) IN ({_SW_SQL}))) AS n_stopwords,
+       {QUALITY_SCORE_SQL} AS quality_score
 FROM documents
 """
 
@@ -112,46 +149,21 @@ def ta_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties break on language name).  The n-gram-heuristic classifier every
     corpus pipeline runs; deterministic so the SQL twin matches exactly."""
     d = _docs(spark, sf_dir)
-    toks = F.split(F.lower(F.col("text")), " ")
-    def _hits(prof):
-        return F.size(F.filter(toks, lambda t: t.isin(*prof)))
-
-    hit_cols = [
-        _hits(prof).alias(f"hits_{lang}") for lang, prof in sorted(PROFILES.items())
-    ]
-    scored = d.select("doc_id", F.col("lang").alias("lang_meta"), *hit_cols)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.col(f"hits_{lang}").alias("hits"), F.lit(lang).alias("lang")
-            )
-            for lang in sorted(PROFILES)
-        ]
-    )
-    best = F.array_max(pairs)  # struct compare: hits then lang; max hits, tie -> max lang
-    return scored.select(
+    # struct compare: hits then lang; max hits, tie -> max lang
+    best = lang_best_expr()
+    return d.select(
         "doc_id",
-        "lang_meta",
+        F.col("lang").alias("lang_meta"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
         best["hits"].cast("bigint").alias("profile_hits"),
     )
 
 
 def _lang_id_sql() -> str:
-    hits = {
-        lang: (
-            "len(list_filter(string_split(lower(text), ' '), "
-            f"t -> t IN ({','.join(repr(w) for w in prof)})))"
-        )
-        for lang, prof in sorted(PROFILES.items())
-    }
-    structs = ", ".join(
-        f"struct_pack(hits := {h}, lang := '{lang}')" for lang, h in hits.items()
-    )
     return f"""
 WITH scored AS (
   SELECT doc_id, lang AS lang_meta,
-         list_max([{structs}]) AS best
+         {LANG_BEST_SQL} AS best
   FROM documents
 )
 SELECT doc_id, lang_meta,
@@ -210,25 +222,8 @@ def ta_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     its audit columns.  One declarative plan: the dedup groupBy is the only
     wide exchange; quality/lang are narrow maps fused into the same scan."""
     d = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS_EN)))
-    score = (
-        F.when((n >= 20) & (n <= 1000), F.lit(1)).otherwise(F.lit(0))
-        + F.when((sw * 100) >= n * 2, F.lit(1)).otherwise(F.lit(0))
-        + F.when(F.length("text") * 10 >= n * 30, F.lit(1)).otherwise(F.lit(0))
-    )
-    ltoks = F.split(F.lower(F.col("text")), " ")
-    pairs = F.array(
-        *[
-            F.struct(
-                F.size(F.filter(ltoks, lambda t: t.isin(*prof))).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, prof in sorted(PROFILES.items())
-        ]
-    )
-    best = F.array_max(pairs)
+    _, _, score = quality_score_expr()
+    best = lang_best_expr()
     scored = d.select(
         "doc_id",
         mdhash_spark(F.col("text")).alias("text_fp"),
@@ -248,23 +243,11 @@ def ta_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_sql() -> str:
-    sw_list = ",".join(repr(s) for s in STOPWORDS_EN)
-    structs = ", ".join(
-        "struct_pack(hits := len(list_filter(string_split(lower(text), ' '), "
-        f"t -> t IN ({','.join(repr(w) for w in prof)}))), lang := '{lang}')"
-        for lang, prof in sorted(PROFILES.items())
-    )
     return f"""
 WITH scored AS (
   SELECT doc_id, {MDHASH_SQL('text')} AS text_fp,
-         CAST(
-           (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
-         + (CASE WHEN len(list_filter(string_split(text,' '),
-                    t -> lower(t) IN ({sw_list}))) * 100
-                 >= len(string_split(text,' ')) * 2 THEN 1 ELSE 0 END)
-         + (CASE WHEN length(text) * 10 >= len(string_split(text,' ')) * 30
-                 THEN 1 ELSE 0 END) AS INTEGER) AS quality_score,
-         list_max([{structs}]) AS best
+         {QUALITY_SCORE_SQL} AS quality_score,
+         {LANG_BEST_SQL} AS best
   FROM documents
 ),
 scored2 AS (

@@ -162,11 +162,10 @@ def streaming_exact_dedup(transcripts: DataFrame) -> DataFrame:
     Uses dropDuplicatesWithinWatermark so Spark evicts fingerprint state
     once the watermark passes; at 10^12-turn scale unbounded dedup state is
     the classic streaming OOM."""
-    from pyspark.sql import functions as F
+    from ..operators.text_analysis import mdhash_spark
 
-    fp = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")
     return (
-        transcripts.withColumn("text_fp", fp)
+        transcripts.withColumn("text_fp", mdhash_spark(F.col("text")))
         .withWatermark("ts", WATERMARK)
         .dropDuplicatesWithinWatermark(["text_fp"])
     )

@@ -17,7 +17,9 @@ EVENT = st.tuples(
     st.integers(min_value=0, max_value=4),  # user_id (few users -> collisions)
     st.sampled_from(["click", "purchase", "view"]),
     st.integers(min_value=0, max_value=60_000),  # ts offset seconds (~16h span)
-    st.floats(min_value=0.01, max_value=500.0, allow_nan=False),
+    # up to 700 min: deliberately LONGER than INTERVAL_BUCKET_US (512 min)
+    # so the fuzz covers intervals spanning 3+ buckets
+    st.floats(min_value=0.01, max_value=700.0, allow_nan=False),
 )
 
 
