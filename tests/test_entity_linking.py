@@ -199,3 +199,21 @@ def test_linking_partitioning_invariance(spark, brand_mentions):
         for r in link_entities(brand_mentions.repartition(17)).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_cc_hub_stress_midsize(spark):
+    """Skew stress at test scale: 50k edges with a 20k-spoke hub plus 100
+    chains — the two-level salted min-agg must produce exact components
+    (the committed-test version of the 1.9M-edge measurement in SCALE.md)."""
+    hub = [(1, x) for x in range(2, 20_002)]
+    chains = [
+        (100_000 + c * 100 + i, 100_000 + c * 100 + i + 1)
+        for c in range(100)
+        for i in range(30)
+    ]
+    edges = spark.createDataFrame(hub + chains, "u long, v long")
+    assign = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(assign[x] == 1 for x in range(1, 20_002))
+    for c in range(100):
+        base = 100_000 + c * 100
+        assert all(assign[base + i] == base for i in range(31))
