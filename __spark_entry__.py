@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embedding_cosine": DD.dd_embedding_cosine,
         "dd_dup_clusters": DD.dd_dup_clusters,
         "dd_band_clusters": DD.dd_band_clusters,
+        "dd_contamination": DD.dd_contamination,
         # similarity search
         "ss_topk_bruteforce": SS.ss_topk_bruteforce,
         "ss_lsh_buckets": SS.ss_lsh_buckets,
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_embedding_cosine": DD.DD_EMBEDDING_COSINE_SQL,
         "dd_dup_clusters": DD.DD_DUP_CLUSTERS_SQL,
         "dd_band_clusters": DD.DD_BAND_CLUSTERS_SQL,
+        "dd_contamination": DD.DD_CONTAMINATION_SQL,
         "ss_topk_bruteforce": SS.SS_TOPK_SQL,
         "ss_lsh_buckets": SS.SS_LSH_BUCKETS_SQL,
         "ss_lsh_ann": SS.SS_LSH_ANN_SQL,

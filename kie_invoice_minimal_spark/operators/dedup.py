@@ -717,3 +717,81 @@ FROM docs d JOIN relabel r2 USING (component)
 
 
 DD_BAND_CLUSTERS_SQL = _band_clusters_sql()
+
+
+# --- decontamination: benchmark n-gram overlap ---------------------------------------
+
+# containment threshold as an exact fraction (same discipline as JACCARD_*)
+CONTAIN_NUM, CONTAIN_DEN = 1, 2  # C(d, b) = |S(d) ∩ S(b)| / |S(d)| >= 1/2
+BENCH_MOD = 5  # doc_id % BENCH_MOD == 0 -> the held-out "benchmark" set (1/5 of
+#   the corpus, sized so the planted near-dup families straddle the split and
+#   the query discriminates; max background containment on the fixture is 0.13)
+
+
+def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set DECONTAMINATION: find corpus documents whose token-3-gram
+    containment against any held-out benchmark document reaches
+    CONTAIN_NUM/CONTAIN_DEN (C(d,b) = |S(d) ∩ S(b)| / |S(d)|) — the overlap
+    check every pretraining pipeline runs before shipping data.
+
+    Shape: the benchmark side is tiny by construction (1/BENCH_MOD of the
+    corpus; in production, the eval suites), so its exploded n-gram table
+    broadcasts and the probe is a broadcast semi-join per shingle followed
+    by one groupBy — the corpus is scanned once, never self-joined.
+    Benchmark docs themselves are excluded from the probe side.
+    """
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(_tok_shingles(F.col("text")), lambda g: mdhash_spark(g))
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+    )
+    bench = d.filter(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), F.explode("sh").alias("h")
+    )
+    probe = d.filter(F.pmod("doc_id", F.lit(BENCH_MOD)) != 0).select(
+        "doc_id", "n_sh", F.explode("sh").alias("h")
+    )
+    inter = (
+        probe.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "n_sh", "bench_doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    return (
+        inter.filter(F.col("n_overlap") * CONTAIN_DEN >= F.col("n_sh") * CONTAIN_NUM)
+        .select(
+            "doc_id",
+            "bench_doc_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_sh"), 6).alias("containment"),
+        )
+    )
+
+
+DD_CONTAMINATION_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_TOK_SHINGLES_SQL}, g -> {MDHASH_SQL('g')})) AS sh
+  FROM documents
+),
+sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d),
+bench AS (
+  SELECT doc_id AS bench_doc_id, unnest(sh) AS h FROM sized WHERE doc_id % {BENCH_MOD} = 0
+),
+probe AS (
+  SELECT doc_id, n_sh, unnest(sh) AS h FROM sized WHERE doc_id % {BENCH_MOD} != 0
+),
+inter AS (
+  SELECT p.doc_id, p.n_sh, b.bench_doc_id, count(*) AS n_overlap
+  FROM probe p JOIN bench b USING (h)
+  GROUP BY p.doc_id, p.n_sh, b.bench_doc_id
+)
+SELECT doc_id, bench_doc_id, n_overlap,
+       round(n_overlap / n_sh, 6) AS containment
+FROM inter
+WHERE n_overlap * {CONTAIN_DEN} >= n_sh * {CONTAIN_NUM}
+"""

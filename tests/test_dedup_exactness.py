@@ -106,3 +106,28 @@ def test_band_clusters_coarsen_verified_clusters(spark):
     bc = {r.doc_id: r.cluster_id for r in dd_band_clusters(spark, SF).collect()}
     for r in dd_lsh_verified_dups(spark, SF).collect():
         assert bc[r.doc_a] == bc[r.doc_b], (r.doc_a, r.doc_b)
+
+
+def test_contamination_matches_bruteforce(spark):
+    """dd_contamination == brute-force containment over the benchmark split."""
+    from kie_invoice_minimal_spark.operators.dedup import (
+        BENCH_MOD,
+        CONTAIN_DEN,
+        CONTAIN_NUM,
+        dd_contamination,
+    )
+
+    sets = _shingle_sets(spark)
+    bench = {d: s for d, s in sets.items() if d % BENCH_MOD == 0}
+    want = set()
+    for d, s in sets.items():
+        if d % BENCH_MOD == 0:
+            continue
+        for b, bs in bench.items():
+            if len(s & bs) * CONTAIN_DEN >= len(s) * CONTAIN_NUM:
+                want.add((d, b, len(s & bs)))
+    got = {
+        (r.doc_id, r.bench_doc_id, r.n_overlap)
+        for r in dd_contamination(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want and len(got) > 0
