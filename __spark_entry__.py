@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_lang_id": TA.ta_lang_id,
         "ta_fingerprint": TA.ta_fingerprint,
         "ta_curate_corpus": TA.ta_curate_corpus,
+        "ta_vocab_topk": TA.ta_vocab_topk,
         # deduplication suite
         "dd_exact": DD.dd_exact,
         "dd_minhash_signatures": DD.dd_minhash_signatures,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_lang_id": TA.TA_LANG_ID_SQL,
         "ta_fingerprint": TA.TA_FINGERPRINT_SQL,
         "ta_curate_corpus": TA.TA_CURATE_SQL,
+        "ta_vocab_topk": TA.TA_VOCAB_TOPK_SQL,
         "dd_exact": DD.DD_EXACT_SQL,
         "dd_minhash_signatures": DD.DD_MINHASH_SIG_SQL,
         "dd_minhash_lsh_pairs": DD.DD_MINHASH_LSH_SQL,

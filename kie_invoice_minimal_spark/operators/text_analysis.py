@@ -263,3 +263,37 @@ WHERE s.doc_id = k.keep_doc_id AND s.quality_score >= 2 AND s.lang_pred != 'und'
 
 
 TA_CURATE_SQL = _curate_sql()
+
+
+# --- corpus vocabulary ------------------------------------------------------------
+
+VOCAB_TOP_K = 100
+
+
+def ta_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary: top-K tokens by document frequency then total
+    count — the token-frequency table tokenizer training and stopword
+    induction start from.  Shape at 100 TB: explode is a narrow map, the
+    groupBy is one shuffle on the token (partial aggregation eats the heavy
+    duplication map-side), and the top-K is a tiny global sort of the
+    already-aggregated vocabulary.  Ordering is fully deterministic:
+    (doc_freq DESC, total_count DESC, token ASC)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+    agg = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+        F.count("*").cast("bigint").alias("total_count"),
+    )
+    return (
+        agg.orderBy(F.desc("doc_freq"), F.desc("total_count"), F.asc("tok"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+TA_VOCAB_TOPK_SQL = f"""
+SELECT tok, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_count
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY doc_freq DESC, total_count DESC, tok ASC
+LIMIT {VOCAB_TOP_K}
+"""
