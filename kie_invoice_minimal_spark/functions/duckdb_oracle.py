@@ -105,6 +105,38 @@ GROUP BY conv_id, turn_idx, mention_type, island
     )
 
 
+def merged_rescan_sql(keys_sql: str = "SELECT doc_id AS k FROM documents") -> str:
+    """DuckDB twin of mention_detect.rescan_merged_surfaces: the merged-span
+    surface is RE-EXTRACTED from the turn text (the reference's merged-crop
+    re-OCR, backend_utils.py:110-113) instead of string_agg over members."""
+    return (
+        _classified_tokens_cte(keys_sql)
+        + """
+, kept AS (SELECT * FROM lab WHERE mention_type != 'OTHER')
+, isl AS (
+  SELECT *,
+         pos - row_number() OVER (
+           PARTITION BY conv_id, turn_idx, mention_type ORDER BY pos) AS island
+  FROM kept
+)
+, merged AS (
+  SELECT conv_id, turn_idx,
+         CAST(min(pos) AS INTEGER) AS pos,
+         CAST(min(span_start) AS INTEGER) AS span_start,
+         CAST(max(span_end) AS INTEGER) AS span_end,
+         mention_type,
+         CAST(count(*) AS INTEGER) AS n_tokens
+  FROM isl
+  GROUP BY conv_id, turn_idx, mention_type, island
+)
+SELECT m.conv_id, m.turn_idx, m.pos, m.span_start, m.span_end,
+       substr(t.text, m.span_start + 1, m.span_end - m.span_start) AS surface,
+       m.mention_type, m.n_tokens
+FROM merged m JOIN transcripts t USING (conv_id, turn_idx)
+"""
+    )
+
+
 # Normalization twin of operators/blocking.normalize_surface: lower, strip
 # accents (+ đ, which strip_accents leaves), drop non-alphanumeric.
 NORM_SQL = (

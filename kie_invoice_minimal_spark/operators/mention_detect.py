@@ -313,3 +313,37 @@ def merge_adjacent_mentions(mentions: DataFrame) -> DataFrame:
             "n_tokens",
         )
     )
+
+
+def rescan_merged_surfaces(merged: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """RE-READ each merged span from the source turn text — the reference's
+    merged-crop re-OCR (``backend/backend_utils.py:110-113``: after
+    ``create_merge_cells`` the merged crop goes back through the recognizer,
+    rather than concatenating the member-box texts).  Here "re-OCR" is
+    re-extraction: surface = substring(text, span_start+1, span_end -
+    span_start), taken from the turn text itself, so any divergence between
+    the merged bounds and the member-join surface surfaces as a difference
+    instead of being papered over (tests pin the two paths equal under
+    single-space tokenization).
+
+    Scale: the join keys on (conv_id, turn_idx) — the clustering the
+    bucketed transcripts table already provides, so on a bucket(conv_id)
+    table this is a zero-exchange co-located join; span extraction is pure
+    column algebra."""
+    t = transcripts.select("conv_id", "turn_idx", "text")
+    return (
+        merged.drop("surface")
+        .join(t, ["conv_id", "turn_idx"])
+        .select(
+            "conv_id",
+            "turn_idx",
+            "pos",
+            "span_start",
+            "span_end",
+            F.expr(
+                "substring(text, span_start + 1, span_end - span_start)"
+            ).alias("surface"),
+            "mention_type",
+            "n_tokens",
+        )
+    )

@@ -78,28 +78,54 @@ FROM ({mentions}) GROUP BY conv_id
 # values within the 1h band — the GatedGCN reduce (gated_gcn.py:76-84)
 # expressed relationally.
 
+A2A3_BAND_US = 3_600_000_000  # 1h gate band == the time-bucket width
+
+
 def a2a3_message_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per destination event: sigmoid-gated weighted mean of same-user source
+    values within the 1h band (GatedGCN reduce, ref gated_gcn.py:76-84).
+
+    Round-3 rewrite: blocked on (user_id, time_bucket) — the identical cure
+    applied to e2_band_self_join (relational.py:360).  Each event explodes
+    into buckets {floor(t/B), floor(t/B)+1} with B = the band width, so any
+    pair with |Δt| <= B shares a bucket (lossless), and the join is a pure
+    equi-join on (user_id, bucket) instead of the round-2 bare user_id join
+    that materialized O(n_u²) pairs per hot user before the band filter.
+    Directed edges are DISTINCT-deduped because a pair whose two events fall
+    in the same base bucket collides in BOTH exploded buckets."""
+    B = A2A3_BAND_US
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "event_id", "value",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
-    a, b = ev.alias("a"), ev.alias("b")
-    edges = a.join(b, "user_id").filter(
-        (F.col("a.event_id") != F.col("b.event_id"))
-        & (F.abs(F.col("a.ts_us") - F.col("b.ts_us")) <= F.lit(3_600_000_000))
+    bucketed = ev.select(
+        "user_id", "event_id", "value", "ts_us",
+        F.explode(
+            F.array(F.floor(F.col("ts_us") / B), F.floor(F.col("ts_us") / B) + 1)
+        ).alias("bucket"),
     )
-    gate = 1.0 / (
-        1.0
-        + F.exp(
-            F.abs(F.col("a.ts_us") - F.col("b.ts_us")) / F.lit(3_600_000_000.0) - 0.5
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
         )
-    )
-    return (
-        edges.select(
+        .filter(
+            (F.col("a.event_id") != F.col("b.event_id"))
+            & (F.abs(F.col("a.ts_us") - F.col("b.ts_us")) <= F.lit(B))
+        )
+        .select(
             F.col("b.event_id").alias("event_id"),
-            (gate * F.col("a.value")).alias("gv"),
-            gate.alias("g"),
+            F.col("a.event_id").alias("src_id"),
+            F.col("a.value").alias("src_value"),
+            F.abs(F.col("a.ts_us") - F.col("b.ts_us")).alias("adus"),
         )
+        .distinct()
+    )
+    gate = 1.0 / (1.0 + F.exp(F.col("adus") / F.lit(float(B)) - 0.5))
+    return (
+        edges.select("event_id", (gate * F.col("src_value")).alias("gv"), gate.alias("g"))
         .groupBy("event_id")
         .agg(
             F.round(F.sum("gv") / (F.sum("g") + 1e-6), ROUND_DP).alias("h_agg"),
@@ -112,16 +138,28 @@ A2A3_SQL = f"""
 WITH ev AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
 ),
+bucketed AS (
+  SELECT user_id, event_id, value, ts_us,
+         unnest([CAST(floor(ts_us / {A2A3_BAND_US}) AS BIGINT),
+                 CAST(floor(ts_us / {A2A3_BAND_US}) AS BIGINT) + 1]) AS bucket
+  FROM ev
+),
 edges AS (
-  SELECT b.event_id AS event_id,
-         (1.0 / (1.0 + exp(abs(a.ts_us - b.ts_us) / 3600000000.0 - 0.5))) * a.value AS gv,
-         1.0 / (1.0 + exp(abs(a.ts_us - b.ts_us) / 3600000000.0 - 0.5)) AS g
-  FROM ev a JOIN ev b ON a.user_id = b.user_id
-  WHERE a.event_id != b.event_id AND abs(a.ts_us - b.ts_us) <= 3600000000
+  SELECT DISTINCT b.event_id AS event_id, a.event_id AS src_id,
+         a.value AS src_value, abs(a.ts_us - b.ts_us) AS adus
+  FROM bucketed a JOIN bucketed b
+    ON a.user_id = b.user_id AND a.bucket = b.bucket
+  WHERE a.event_id != b.event_id AND abs(a.ts_us - b.ts_us) <= {A2A3_BAND_US}
+),
+gated AS (
+  SELECT event_id,
+         (1.0 / (1.0 + exp(adus / {A2A3_BAND_US}.0 - 0.5))) * src_value AS gv,
+         1.0 / (1.0 + exp(adus / {A2A3_BAND_US}.0 - 0.5)) AS g
+  FROM edges
 )
 SELECT event_id, round(sum(gv) / (sum(g) + 1e-6), {ROUND_DP}) AS h_agg,
        count(*) AS n_in
-FROM edges GROUP BY event_id
+FROM gated GROUP BY event_id
 """
 
 
@@ -841,7 +879,15 @@ def el_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the levenshtein(norm) <= 3 verify runs only on colliding pairs.
     Norm-equal aliases share every band, so true alias pairs always survive;
     band recall for edited forms follows the 8x2 MinHash curve documented in
-    blocking.py."""
+    blocking.py.
+
+    CONTRACT IS APPROXIMATE (round-3 ADVICE item): measured fixture recall
+    vs the exhaustive round-1 formulation is 23/33 = 0.697
+    (tests/test_levenshtein_recall.py, floor pinned at 0.65).  Every dropped
+    pair is a cross-entity edit-distance-3 coincidence (HABECO↔HaoHao,
+    MASAN↔VISSAN) whose char-3-gram Jaccard is <= 0.25 — pairs the entity
+    linker must NOT merge anyway; blocking is sound (output ⊆ exhaustive,
+    asserted)."""
     from .blocking import normalize_surface
     from .text_analysis import mdhash_spark
 
@@ -965,6 +1011,27 @@ def el_levenshtein_sql() -> str:
 SELECT surface_a, surface_b,
        CAST(levenshtein(na, nb) AS INTEGER) AS edit_dist
 FROM lev_cand WHERE levenshtein(na, nb) <= 3
+"""
+    )
+
+
+def el_levenshtein_exhaustive_sql() -> str:
+    """The round-1 exhaustive formulation (all distinct-surface pairs with
+    edit_dist <= 3, no blocking) — quadratic, kept ONLY as the recall oracle
+    for tests/test_levenshtein_recall.py.  The registered query is the
+    banded one; its contract is APPROXIMATE (candidates = MinHash band
+    collisions), and the recall test quantifies exactly what the bands drop
+    on the fixture."""
+    norm = duckdb_oracle.NORM_SQL.format(col="surface")
+    return (
+        duckdb_oracle._classified_tokens_cte("SELECT doc_id AS k FROM documents")
+        + f"""
+, s AS (SELECT DISTINCT surface, {norm} AS norm
+        FROM lab WHERE mention_type = 'BRAND')
+SELECT a.surface AS surface_a, b.surface AS surface_b,
+       CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS edit_dist
+FROM s a JOIN s b ON a.surface < b.surface
+WHERE levenshtein(a.norm, b.norm) <= 3
 """
     )
 

@@ -88,6 +88,7 @@ class CheckpointedPipeline:
             "overwrite"
         ).parquet(out)
         n_written = int(obs.get["n_rows"])
+        t_written = time.time()
         # per-partition lineage comes from reading the snapshot back — it
         # describes the table AS STORED (what a resume will load), and the
         # observed write count cross-checks it: a mismatch means a torn or
@@ -114,7 +115,13 @@ class CheckpointedPipeline:
             "n_partitions": len(lineage),
             "partition_rows": lineage,
             # per-stage wall time — the reference's @timer instrumentation
-            # (backend_utils.py:30-40) lifted into the state record
+            # (backend_utils.py:30-40) lifted into the state record.
+            # Split (r2 ADVICE): wall_write_sec is the stage's compute+write
+            # job alone; wall_verify_sec is the snapshot readback + lineage
+            # collect that resume-proofs it; wall_sec stays as the total for
+            # backward compatibility with existing pipeline_state consumers.
+            "wall_write_sec": round(t_written - t_start, 3),
+            "wall_verify_sec": round(time.time() - t_written, 3),
             "wall_sec": round(time.time() - t_start, 3),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }

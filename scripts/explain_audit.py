@@ -49,11 +49,36 @@ def audit(name: str, plan: str) -> list[str]:
     return flags
 
 
+def table_row(name: str, plan: str) -> str:
+    # count DETAIL-section nodes only ("(4) Exchange") — each physical node
+    # appears twice in .explain('formatted') (tree + details), and the
+    # PLANS.md convention is one count per node
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    n_arrow = len(
+        re.findall(
+            r"^\(\d+\) (?:ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)",
+            plan,
+            re.M,
+        )
+    )
+    batch = "YES" if "BatchEvalPython" in plan else "no"
+    pushed = "yes" if re.search(r"PushedFilters: \[[^\]]*(Is|Equal|Greater|Less|String)", plan) else "-"
+    return f"| {name} | {n_exchange} | {n_arrow} | {batch} | {pushed} |"
+
+
 def main() -> None:
-    names = sys.argv[1:] or HEADLINE
+    args = sys.argv[1:]
     spark = get_spark(app_name="explain-audit", master="local[4]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    if args and args[0] == "--table":
+        # regenerate the PLANS.md table body over EVERY registered query
+        print("| query | exchanges | arrow python ops | BatchEvalPython | non-trivial PushedFilters |")
+        print("|---|---|---|---|---|")
+        for name, fn in qs.items():
+            print(table_row(name, plan_of(fn(spark, SF_DIR))), flush=True)
+        return
+    names = args or HEADLINE
     for name in names:
         df = qs[name](spark, SF_DIR)
         plan = plan_of(df)

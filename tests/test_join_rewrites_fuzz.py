@@ -1,8 +1,9 @@
-"""The three scale-rewritten joins (as-of g3, bucketed e2, bucketed interval
-overlap) must equal their naive quadratic formulations on ARBITRARY inputs,
-not just the fixture.  Hypothesis generates random event tables; both
-formulations run in DuckDB (the Spark twins are hash-compared to these same
-SQL strings by the harness, so equality here transfers)."""
+"""The four scale-rewritten joins (as-of g3, bucketed e2, bucketed interval
+overlap, bucketed a2a3 message passing) must equal their naive quadratic
+formulations on ARBITRARY inputs, not just the fixture.  Hypothesis
+generates random event tables; both formulations run in DuckDB (the Spark
+twins are hash-compared to these same SQL strings by the harness, so
+equality here transfers)."""
 
 from __future__ import annotations
 
@@ -10,8 +11,11 @@ import duckdb
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 
-from kie_invoice_minimal_spark.operators.relational import E2_SQL, G3_SQL
-from kie_invoice_minimal_spark.operators.relational_ext import INTERVAL_OVERLAP_SQL
+from kie_invoice_minimal_spark.operators.relational import E2_SQL, G3_SQL, ROUND_DP
+from kie_invoice_minimal_spark.operators.relational_ext import (
+    A2A3_SQL,
+    INTERVAL_OVERLAP_SQL,
+)
 
 EVENT = st.tuples(
     st.integers(min_value=0, max_value=4),  # user_id (few users -> collisions)
@@ -95,3 +99,35 @@ def test_e2_bucketed_equals_naive_band(rows):
 def test_interval_bucketed_equals_naive(rows):
     con = _con(rows)
     assert _rows(con, INTERVAL_OVERLAP_SQL) == _rows(con, NAIVE_INTERVAL)
+
+
+# round-3 rewrite: the round-2 quadratic formulation, kept here as the oracle
+NAIVE_A2A3 = f"""
+WITH ev AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+),
+edges AS (
+  SELECT b.event_id AS event_id,
+         (1.0 / (1.0 + exp(abs(a.ts_us - b.ts_us) / 3600000000.0 - 0.5))) * a.value AS gv,
+         1.0 / (1.0 + exp(abs(a.ts_us - b.ts_us) / 3600000000.0 - 0.5)) AS g
+  FROM ev a JOIN ev b ON a.user_id = b.user_id
+  WHERE a.event_id != b.event_id AND abs(a.ts_us - b.ts_us) <= 3600000000
+)
+SELECT event_id, round(sum(gv) / (sum(g) + 1e-6), {ROUND_DP}) AS h_agg,
+       count(*) AS n_in
+FROM edges GROUP BY event_id
+"""
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(EVENT, min_size=0, max_size=40))
+def test_a2a3_bucketed_equals_naive(rows):
+    con = _con(rows)
+    new = _rows(con, A2A3_SQL)
+    old = _rows(con, NAIVE_A2A3)
+    # edge SET identity -> (event_id, n_in) must match exactly; the gated
+    # sums are doubles accumulated in a different order after the bucketed
+    # DISTINCT, so h_agg is compared at one ulp of the ROUND_DP rounding.
+    assert [(r[0], r[2]) for r in new] == [(r[0], r[2]) for r in old]
+    tol = 1.5 * 10 ** (-ROUND_DP)
+    assert all(abs(a[1] - b[1]) <= tol for a, b in zip(new, old))

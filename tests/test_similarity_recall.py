@@ -1,0 +1,84 @@
+"""IVF-ANN recall measurement vs exact bruteforce (round-3 verdict item 4).
+
+Mirrors the LSH band-recall discipline in blocking.py: every approximate
+operator gets a MEASURED recall with a pinned bound, not a vibe.  Both
+formulations run in DuckDB — the Spark twins are hash-compared to these
+same SQL strings by the harness, so the numbers transfer.
+
+Two regimes:
+- the sf0.01 fixture: ISOTROPIC random embeddings, where no space
+  partition beats the scanned-fraction wall.  Recall at (16 cells,
+  2 probes) is 0.34 — well above the 2/16 = 0.125 blind-scan floor, which
+  is exactly what a working coarse quantizer buys on unclusterable data.
+- a 4-cluster synthetic corpus (the workload IVF exists for): recall = 1.0
+  at (8 cells, 2 probes).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from kie_invoice_minimal_spark.operators.similarity import ivf_ann_sql, topk_sql
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _recall_at_k(con, bf_sql: str, ann_sql: str) -> float:
+    bf, ann = defaultdict(set), defaultdict(set)
+    for q, n, _r, _c in con.execute(bf_sql).fetchall():
+        bf[q].add(n)
+    for q, n, _r, _c in con.execute(ann_sql).fetchall():
+        ann[q].add(n)
+    recs = [len(bf[q] & ann[q]) / len(bf[q]) for q in bf]
+    return float(sum(recs) / len(recs))
+
+
+def _fixture_con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    return con
+
+
+def test_ivf_recall_on_fixture_beats_blind_scan_floor():
+    con = _fixture_con()
+    bf = topk_sql()
+    r2 = _recall_at_k(con, bf, ivf_ann_sql(n_centroids=16, n_probe=2))
+    # isotropic fixture: the scanned fraction is 2/16 = 0.125; the measured
+    # 0.34 shows the quantizer concentrates each query's neighborhood.
+    assert r2 >= 0.30, f"recall@10 at (16,2) regressed: {r2:.3f}"
+
+
+def test_ivf_recall_monotone_in_probe_count():
+    con = _fixture_con()
+    bf = topk_sql()
+    recalls = [
+        _recall_at_k(con, bf, ivf_ann_sql(n_centroids=16, n_probe=p))
+        for p in (2, 4, 8)
+    ]
+    assert recalls == sorted(recalls), f"not monotone: {recalls}"
+    assert recalls[-1] >= 0.70, f"recall@10 at (16,8) regressed: {recalls[-1]:.3f}"
+
+
+def test_ivf_recall_on_clustered_corpus():
+    """On clustered data (IVF's raison d'être) the md5-sampled quantizer
+    reaches full recall probing 2 of 8 cells — a 4x scan reduction."""
+    rng = np.random.RandomState(7)
+    k, n = 4, 200
+    centers = rng.randn(k, 64) * 3.0
+    vecs = np.vstack([centers[i % k] + 0.3 * rng.randn(64) for i in range(n)])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    con = duckdb.connect()
+    con.register("clustered_pdf", pdf)
+    con.execute("CREATE VIEW clustered AS SELECT * FROM clustered_pdf")
+    bf = topk_sql(query_mod=20, table="clustered")
+    ann = ivf_ann_sql(n_centroids=8, n_probe=2, query_mod=20, table="clustered")
+    r = _recall_at_k(con, bf, ann)
+    assert r >= 0.90, f"clustered recall@10 at (8,2) regressed: {r:.3f}"

@@ -62,3 +62,21 @@ def test_merge_preserves_triples(spark):
     a = sorted(map(tuple, materialize_triples(m).collect()))
     b = sorted(map(tuple, materialize_triples(merge_adjacent_mentions(m)).collect()))
     assert a == b
+
+
+def test_rescan_equals_member_join_surfaces(spark):
+    """The merged-crop re-OCR analog (rescan_merged_surfaces,
+    backend_utils.py:110-113) and the member string_agg path must agree
+    under single-space tokenization — the two ways of reading a merged
+    span are the same text."""
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        rescan_merged_surfaces,
+    )
+
+    t = synth_transcripts(spark, N_TURNS)
+    merged = merge_adjacent_mentions(detect_mentions_arrow(t))
+    key = ["conv_id", "turn_idx", "pos", "span_start", "span_end", "surface",
+           "mention_type", "n_tokens"]
+    joined = {tuple(r) for r in merged.select(*key).collect()}
+    rescanned = {tuple(r) for r in rescan_merged_surfaces(merged, t).select(*key).collect()}
+    assert joined == rescanned
