@@ -47,3 +47,26 @@ def test_mention_scan_prunes_columns(spark):
     assert "doc_id" in schema
     for col in ("lang", "source", "n_chars"):
         assert col not in schema, f"unpruned column {col} in {schema}"
+
+
+def test_a2a3_joins_on_user_and_bucket(spark):
+    """The r3 de-quadratic rewrite must survive in the PHYSICAL plan: the
+    self-join's equi-keys are (user_id, bucket), not user_id alone (which
+    materializes O(n_u^2) pairs per hot user before the band filter)."""
+    plan = _plan(entrymod.queries()["a2a3_message_pass"](spark, SF))
+    m = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, f"no equi-join keys found:\n{plan}"
+    left_keys = m.group(1)
+    assert "user_id" in left_keys and "bucket" in left_keys, left_keys
+
+
+def test_contamination_has_no_forced_broadcast(spark):
+    """dd_contamination must not pin a broadcast hint on the benchmark side
+    (input-proportional on this fixture) — AQE decides from actual sizes.
+    The pre-AQE physical plan therefore shows a shuffle join, not a
+    planner-forced BroadcastHashJoin."""
+    df = entrymod.queries()["dd_contamination"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized and "BROADCAST" not in optimized, (
+        optimized[:500]
+    )
