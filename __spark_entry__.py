@@ -133,11 +133,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": RX.interval_overlap_join,
         "anti_join_no_orders": RX.anti_join_no_orders,
         "outer_join_order_counts": RX.outer_join_order_counts,
-        # 26-29: rewritten or new this round — need (re-)certification
+        # 26-33: rewritten or new this round — need (re-)certification
         "a2a3_message_pass": RX.a2a3_message_pass,
         "dd_contamination": DD.dd_contamination,
         "ss_ivf_ann": SS.ss_ivf_ann,
         "kg_mentions_rescan": _kg_mentions_rescan,
+        "ta_repetition_filter": TA.ta_repetition_filter,
+        "ta_redact_spans": TA.ta_redact_spans,
+        "ta_pack_sequences": TA.ta_pack_sequences,
+        "ta_mixture_weights": TA.ta_mixture_weights,
         # 29-50: certified entries most coupled to the changed code
         "e2_band_self_join": R.e2_band_self_join,
         "cc_event_pairs": _cc_event_pairs,
@@ -156,11 +160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_dup_clusters": DD.dd_dup_clusters,
         "dd_band_clusters": DD.dd_band_clusters,
         "ss_topk_bruteforce": SS.ss_topk_bruteforce,
+        # 51+: frozen driver-green since r01/r02, guarded by the local gate
         "ss_lsh_buckets": SS.ss_lsh_buckets,
         "ss_lsh_ann": SS.ss_lsh_ann,
         "ta_curate_corpus": TA.ta_curate_corpus,
         "ta_vocab_topk": TA.ta_vocab_topk,
-        # 51+: frozen driver-green since r01/r02, guarded by the local gate
         "mm_decode_metadata": MM.mm_decode_metadata,
         "g5_ordered_concat": R.g5_ordered_concat,
         "e3_minmax_normalize": R.e3_minmax_normalize,
@@ -213,6 +217,10 @@ def oracle_sql() -> dict[str, str]:
         "ta_fingerprint": TA.TA_FINGERPRINT_SQL,
         "ta_curate_corpus": TA.TA_CURATE_SQL,
         "ta_vocab_topk": TA.TA_VOCAB_TOPK_SQL,
+        "ta_repetition_filter": TA.TA_REPETITION_SQL,
+        "ta_redact_spans": TA.ta_redact_sql(),
+        "ta_pack_sequences": TA.TA_PACK_SQL,
+        "ta_mixture_weights": TA.TA_MIXTURE_SQL,
         "dd_exact": DD.DD_EXACT_SQL,
         "dd_minhash_signatures": DD.DD_MINHASH_SIG_SQL,
         "dd_minhash_lsh_pairs": DD.DD_MINHASH_LSH_SQL,

@@ -297,3 +297,295 @@ GROUP BY tok
 ORDER BY doc_freq DESC, total_count DESC, tok ASC
 LIMIT {VOCAB_TOP_K}
 """
+
+
+# --- repetition signals (Gopher-style quality rules) ------------------------------
+
+# thresholds picked at the fixture's discriminating quantiles (dup-2gram p90
+# = 0.065, dup-token median = 0.538 / max 0.723): a doc is repetitive when
+# its 2-gram duplication is in the top decile OR token duplication near max.
+REP_DUP_2GRAM_THS = 0.06
+REP_DUP_TOKEN_THS = 0.65
+
+
+def ta_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText repetition
+    rules — Rae et al. 2021 §A1.1 — restated relationally): per-doc
+    duplicate-token fraction, top-token fraction, duplicate-2-gram
+    fraction, and the composed is_repetitive flag.
+
+    Shape at 100 TB: token and 2-gram tables are narrow explodes; each
+    groupBy(doc_id, unit) -> groupBy(doc_id) pair does partial aggregation
+    map-side (the unit tables never leave the exchange un-combined), and
+    the final join is doc_id-to-doc_id.  No HOF is quadratic in doc length
+    (an all-column-algebra variant would be O(n * n_distinct) per doc —
+    wrong for book-length docs)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tstats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.max("c").cast("bigint").alias("top_count"),
+        )
+    )
+    tarr = F.split(F.col("text"), " ")
+    grams_arr = F.when(
+        F.size(tarr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tarr) - 1),
+            lambda i: F.concat_ws(" ", F.slice(tarr, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(grams_arr).alias("gram"))
+    gstats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_distinct_grams"),
+        )
+    )
+    j = tstats.join(gstats, "doc_id", "left")
+    dup_tok = F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 6)
+    top_tok = F.round(F.col("top_count") / F.col("n_tokens"), 6)
+    dup_gram = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.lit(1.0) - F.col("n_distinct_grams") / F.col("n_grams"), 6),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        dup_tok.alias("dup_token_frac"),
+        top_tok.alias("top_token_frac"),
+        dup_gram.alias("dup_2gram_frac"),
+        (
+            (dup_gram > REP_DUP_2GRAM_THS) | (dup_tok > REP_DUP_TOKEN_THS)
+        ).alias("is_repetitive"),
+    )
+
+
+TA_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tstats AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_count
+  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id, unnest(
+    list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+                   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])
+  ) AS gram FROM documents
+),
+gstats AS (
+  SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct_grams
+  FROM (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT t.doc_id, t.n_tokens,
+         round(1.0 - t.n_distinct / t.n_tokens, 6) AS dup_token_frac,
+         round(t.top_count / t.n_tokens, 6) AS top_token_frac,
+         CASE WHEN g.n_grams > 0
+              THEN round(1.0 - g.n_distinct_grams / g.n_grams, 6)
+              ELSE 0.0 END AS dup_2gram_frac
+  FROM tstats t LEFT JOIN gstats g USING (doc_id)
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       dup_token_frac, top_token_frac, dup_2gram_frac,
+       (dup_2gram_frac > {REP_DUP_2GRAM_THS} OR dup_token_frac > {REP_DUP_TOKEN_THS})
+         AS is_repetitive
+FROM j
+"""
+
+
+# --- sequence packing (distributed prefix sum) -------------------------------------
+
+PACK_SEQ_LEN = 256  # tokens per packed training sequence
+PACK_BUCKET = 100  # doc_ids per prefix-sum bucket
+
+
+def ta_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-style pretraining batch
+    layout): documents in deterministic doc_id order are laid end-to-end on
+    a token tape and cut into PACK_SEQ_LEN-token sequences; each doc gets
+    (seq_id, offset_in_seq) of its starting token.
+
+    The global running total is a DISTRIBUTED PREFIX SUM, not one giant
+    window: within-bucket cumsum partitions by floor(doc_id/PACK_BUCKET)
+    (parallel, ~PACK_BUCKET rows per window partition), bucket totals are
+    one tiny aggregate whose own cumsum runs over #buckets rows, and the
+    two join back on the bucket key.  A bare Window.orderBy(doc_id) would
+    drag the whole corpus through ONE task — the classic packing
+    anti-pattern at 100 TB.  All arithmetic is exact BIGINT."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = d.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    btot = d.groupBy("bkt").agg(F.sum("n_tokens").alias("btok"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boff = btot.withColumn("boff", F.sum("btok").over(w_b) - F.col("btok")).select(
+        "bkt", "boff"
+    )
+    tape = within.join(boff, "bkt").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("boff") + F.col("cum_in") - F.col("n_tokens")).alias("start_tok"),
+    )
+    return tape.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("start_tok") / PACK_SEQ_LEN).cast("bigint").alias("seq_id"),
+        F.pmod("start_tok", F.lit(PACK_SEQ_LEN)).cast("bigint").alias("offset_in_seq"),
+    )
+
+
+TA_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(floor(doc_id / {PACK_BUCKET}) AS BIGINT) AS bkt
+  FROM documents
+),
+within AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY bkt ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in
+  FROM d
+),
+boff AS (
+  SELECT bkt, sum(btok) OVER (ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - btok AS boff
+  FROM (SELECT bkt, sum(n_tokens) AS btok FROM d GROUP BY bkt)
+),
+tape AS (
+  SELECT w.doc_id, w.n_tokens, b.boff + w.cum_in - w.n_tokens AS start_tok
+  FROM within w JOIN boff b USING (bkt)
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(start_tok / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(start_tok % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_seq
+FROM tape
+"""
+
+
+# --- domain mixture weights ---------------------------------------------------------
+
+def ta_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) domain statistics + proportional sampling weight —
+    the mixture table a pretraining data loader consumes.  Token totals are
+    exact BIGINTs, so weight = round(domain_tokens / corpus_tokens, 6) is
+    order-independent (no float accumulation before the single division).
+    The unpartitioned window runs over the ALREADY-AGGREGATED domain table
+    (O(#domains) rows), not the corpus."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok")
+    )
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("weight"),
+    )
+
+
+TA_MIXTURE_SQL = """
+WITH g AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_tokens / (sum(n_tokens) OVER ()), 6) AS weight
+FROM g
+"""
+
+
+# --- span redaction (PII-scrub analog) ----------------------------------------------
+
+def ta_redact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-span scrubbing over the transcripts — the PII-redaction
+    pass a training pipeline runs before material leaves the curation zone.
+    The corpus plants dates and quantity tokens (the reference's MFG/EXP/
+    WEIGHT fields), so those are the redaction targets here: every token
+    matching the shared DATE/WEIGHT rules (functions/rules.py — the SAME
+    regexes the mention detector classifies with) is rewritten to [DATE] /
+    [NUM], with per-turn match counters for the audit log.
+
+    Token-level transform (split -> per-token CASE -> join) rather than a
+    full-text regexp_replace: the anchored token regexes are shared
+    verbatim with the detector AND with DuckDB's RE2 (which lacks the
+    lookarounds an in-text boundary match would need).  Pure narrow map —
+    zero shuffles."""
+    from ..functions import rules
+    from ..sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    red = F.transform(
+        toks,
+        lambda tok: F.when(tok.rlike(rules.DATE_RE_SQL), F.lit("[DATE]"))
+        .when(F.lower(tok).rlike(rules.WEIGHT_RE_SQL), F.lit("[NUM]"))
+        .otherwise(tok),
+    )
+    n_dates = F.size(F.filter(toks, lambda tok: tok.rlike(rules.DATE_RE_SQL)))
+    n_nums = F.size(
+        F.filter(
+            toks,
+            lambda tok: ~tok.rlike(rules.DATE_RE_SQL)
+            & F.lower(tok).rlike(rules.WEIGHT_RE_SQL),
+        )
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join(red, " ").alias("redacted_text"),
+        n_dates.cast("int").alias("n_dates"),
+        n_nums.cast("int").alias("n_nums"),
+    )
+
+
+def ta_redact_sql() -> str:
+    from ..functions import rules
+    from ..sources.transcripts import duckdb_transcripts_sql
+
+    case = (
+        f"CASE WHEN regexp_matches(tok, '{rules.DATE_RE_SQL}') THEN '[DATE]' "
+        f"WHEN regexp_matches(lower(tok), '{rules.WEIGHT_RE_SQL}') THEN '[NUM]' "
+        "ELSE tok END"
+    )
+    return f"""
+WITH transcripts AS ({duckdb_transcripts_sql("SELECT doc_id AS k FROM documents")})
+SELECT conv_id, turn_idx,
+       array_to_string(list_transform(string_split(text, ' '), tok -> {case}), ' ')
+         AS redacted_text,
+       CAST(len(list_filter(string_split(text, ' '),
+            tok -> regexp_matches(tok, '{rules.DATE_RE_SQL}'))) AS INTEGER) AS n_dates,
+       CAST(len(list_filter(string_split(text, ' '),
+            tok -> NOT regexp_matches(tok, '{rules.DATE_RE_SQL}')
+                   AND regexp_matches(lower(tok), '{rules.WEIGHT_RE_SQL}')))
+         AS INTEGER) AS n_nums
+FROM transcripts
+"""
