@@ -183,15 +183,21 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     token order for the shingle variant's sorted distinct 3-gram set)."""
     d = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.col("text")), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-    )
+    # guard n<3: Spark's sequence(1, 0) DESCENDS ([1, 0]) and slice(_, 0, _)
+    # throws, where DuckDB's range(1, 1) is empty — the when() makes both
+    # dialects emit the empty shingle set for 1-2-token docs
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return d.select(
         "doc_id",
         mdhash_spark(F.lower(F.col("text"))).alias("text_fp"),
         mdhash_spark(
-            F.array_join(F.array_sort(F.array_distinct(sh)), "")
+            F.array_join(F.array_sort(F.array_distinct(sh)), "\x01")
         ).alias("shingle_fp"),
     )
 
@@ -208,7 +214,7 @@ WITH sh AS (
 )
 SELECT doc_id,
        {MDHASH_SQL('lt')} AS text_fp,
-       {MDHASH_SQL("array_to_string(shset, chr(1))")} AS shingle_fp
+       {MDHASH_SQL("coalesce(array_to_string(shset, chr(1)), '')")} AS shingle_fp
 FROM sh
 """
 

@@ -135,3 +135,50 @@ def test_mixture_weights_sum_to_one_and_cover_corpus():
     ).fetchone()
     assert abs(tot_w - 1.0) < 1e-3  # per-group 6dp rounding only
     assert tot_docs == 500
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),  # sparse, gappy doc_ids
+            st.integers(min_value=1, max_value=400),  # token counts
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_two_level_equals_naive_on_arbitrary_ids(rows):
+    """The bucketed prefix sum must equal the naive global cumsum for ANY
+    doc_id distribution — gaps, empty buckets, a single doc, nothing."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "text": pd.array([" ".join(["w"] * r[1]) for r in rows], dtype="string"),
+            "lang": pd.array(["en"] * len(rows), dtype="string"),
+            "source": pd.array(["s"] * len(rows), dtype="string"),
+            "n_chars": pd.array([0] * len(rows), dtype="int64"),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    naive = f"""
+WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+tape AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM d)
+SELECT doc_id, n_tokens,
+       CAST(floor(start_tok / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(start_tok % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_seq
+FROM tape
+"""
+    a = sorted(map(tuple, con.execute(TA_PACK_SQL).fetchall()))
+    b = sorted(map(tuple, con.execute(naive).fetchall()))
+    assert a == b
