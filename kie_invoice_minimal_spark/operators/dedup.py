@@ -644,9 +644,19 @@ def dd_band_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage feeding per-cluster verification; dd_lsh_verified_dups /
     dd_dup_clusters remain the precision path.
 
-    Bucket nodes live on the negative id side (-1 - hash % 2^40), so they
-    can never collide with doc ids; cluster_id is relabeled to the min doc
-    of each component.
+    Round-3 physical strategy: STAR COLLAPSE before CC.  Each band bucket
+    is replaced by edges from its members to its MIN member (one groupBy +
+    join), so connected components runs over doc-doc edges only — same
+    components (buckets only relay connectivity), but the bucket nodes and
+    the doc->bucket->doc hop are gone, which cuts both the CC node count
+    and the graph diameter (= CC rounds = exchanges).  A/B at sf0.1, warm:
+    8.5-8.6s bipartite -> 6.7-7.2s star, identical 5000-row output.
+    Singleton docs (alone in every bucket) drop out of the star edge set
+    and are re-added as their own cluster via a left join.
+
+    The DuckDB oracle intentionally keeps the DIRECT bipartite reachability
+    formulation (bucket nodes on the negative id side) — two independent
+    formulations agreeing is a stronger check than twin plans.
     """
     from .connected_components import connected_components
 
@@ -662,10 +672,10 @@ def dd_band_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigd = base.withColumn("hb", F.transform("sh", lambda h: h % _MH_P))
     sig = sigd.select("doc_id", *_sig_cols())
-    # bucket node = the SAME band key the pairwise LSH uses (shared
+    # bucket key = the SAME band key the pairwise LSH uses (shared
     # _band_struct_array definition) + a per-band offset, so band clusters
     # provably coarsen the verified-pair clusters
-    edges = sig.select(
+    memb = sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -675,17 +685,29 @@ def dd_band_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bnode_raw"),
     ).select(
         F.col("doc_id").alias("u"),
-        (F.lit(-1) - F.pmod(F.col("bnode_raw"), F.lit(_BAND_NODE_MOD))).alias("v"),
+        F.pmod(F.col("bnode_raw"), F.lit(_BAND_NODE_MOD)).alias("bkt"),
     )
-    cc = connected_components(edges)  # node, component (min node = a bucket id)
-    docs = cc.filter(F.col("node") >= 0)
-    relabel = docs.groupBy("component").agg(F.min("node").alias("cluster_id"))
+    hubs = memb.groupBy("bkt").agg(F.min("u").alias("hub"))
+    star = (
+        memb.join(hubs, "bkt")
+        .filter(F.col("u") != F.col("hub"))
+        .select("u", F.col("hub").alias("v"))
+        .distinct()
+    )
+    cc = connected_components(star)  # node, component — multi-doc buckets only
+    lab = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(cc.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
+    relabel = lab.groupBy("component").agg(F.min("doc_id").alias("cluster_id"))
     return (
-        docs.join(relabel, "component")
+        lab.join(relabel, "component")
         .select(
-            F.col("node").alias("doc_id"),
+            "doc_id",
             "cluster_id",
-            (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
         )
     )
 
@@ -753,6 +775,11 @@ def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
         .withColumn("n_sh", F.size("sh"))
+        # one shuffle makes the md5-per-shingle scan a shared exchange for
+        # BOTH branches (bench side + probe side) — the dd_ngram convention;
+        # without it each branch recomputes the hash pass (A/B at sf0.1,
+        # warm min-of-2: 5.7s -> 4.5s)
+        .repartition("doc_id")
     )
     bench = d.filter(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0).select(
         F.col("doc_id").alias("bench_doc_id"), F.explode("sh").alias("h")
