@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_redact_spans": TA.ta_redact_spans,
         "ta_pack_sequences": TA.ta_pack_sequences,
         "ta_mixture_weights": TA.ta_mixture_weights,
+        "ta_mixture_sample": TA.ta_mixture_sample,
         # 29-50: certified entries most coupled to the changed code
         "e2_band_self_join": R.e2_band_self_join,
         "cc_event_pairs": _cc_event_pairs,
@@ -159,8 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embedding_cosine": DD.dd_embedding_cosine,
         "dd_dup_clusters": DD.dd_dup_clusters,
         "dd_band_clusters": DD.dd_band_clusters,
-        "ss_topk_bruteforce": SS.ss_topk_bruteforce,
         # 51+: frozen driver-green since r01/r02, guarded by the local gate
+        "ss_topk_bruteforce": SS.ss_topk_bruteforce,
         "ss_lsh_buckets": SS.ss_lsh_buckets,
         "ss_lsh_ann": SS.ss_lsh_ann,
         "ta_curate_corpus": TA.ta_curate_corpus,
@@ -221,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_redact_spans": TA.ta_redact_sql(),
         "ta_pack_sequences": TA.TA_PACK_SQL,
         "ta_mixture_weights": TA.TA_MIXTURE_SQL,
+        "ta_mixture_sample": TA.TA_MIXTURE_SAMPLE_SQL,
         "dd_exact": DD.DD_EXACT_SQL,
         "dd_minhash_signatures": DD.DD_MINHASH_SIG_SQL,
         "dd_minhash_lsh_pairs": DD.DD_MINHASH_LSH_SQL,

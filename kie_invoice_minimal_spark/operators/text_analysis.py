@@ -595,3 +595,64 @@ SELECT conv_id, turn_idx,
          AS INTEGER) AS n_nums
 FROM transcripts
 """
+
+
+# --- applying the mixture: deterministic domain-balanced sampling -------------------
+
+SAMPLE_PPM = 1_000_000  # rate resolution (parts per million)
+
+
+def ta_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-BALANCED downsampling — the apply-side of ta_mixture_weights:
+    every (lang, source) domain is thinned to the smallest domain's token
+    budget, so the sampled corpus mixes domains uniformly.
+
+    Selection is DETERMINISTIC hash gating, not rand(): doc kept iff
+    md5-hash(doc_id) mod 1e6 < rate_ppm, with rate_ppm =
+    floor(min_domain_tokens * 1e6 / domain_tokens) — exact integer
+    arithmetic end to end, so both dialects make byte-identical keep
+    decisions and a re-run (or a resumed job) samples the same docs.
+    Shape: one groupBy for domain totals, a tiny window over the aggregated
+    domain table for the min, a join back on (lang, source) that AQE
+    broadcasts (the domain table is O(#domains)), then a narrow filter."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    g = d.groupBy("lang", "source").agg(F.sum("n_tok").alias("dom_tokens"))
+    g = g.withColumn(
+        "rate_ppm",
+        F.floor(
+            F.min("dom_tokens").over(Window.partitionBy()) * SAMPLE_PPM
+            / F.col("dom_tokens")
+        ).cast("bigint"),
+    )
+    gate = F.pmod(mdhash_spark(F.col("doc_id").cast("string")), F.lit(SAMPLE_PPM))
+    return (
+        d.join(g.select("lang", "source", "rate_ppm"), ["lang", "source"])
+        .filter(gate < F.col("rate_ppm"))
+        .select("doc_id", "lang", "source", "rate_ppm")
+    )
+
+
+TA_MIXTURE_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+g AS (
+  SELECT lang, source, sum(n_tok) AS dom_tokens FROM d GROUP BY lang, source
+),
+r AS (
+  SELECT lang, source,
+         CAST(floor(min(dom_tokens) OVER () * {SAMPLE_PPM} / dom_tokens) AS BIGINT)
+           AS rate_ppm
+  FROM g
+)
+SELECT d.doc_id, d.lang, d.source, r.rate_ppm
+FROM d JOIN r USING (lang, source)
+WHERE {MDHASH_SQL("CAST(doc_id AS VARCHAR)")} % {SAMPLE_PPM} < r.rate_ppm
+"""

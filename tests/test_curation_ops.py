@@ -182,3 +182,35 @@ FROM tape
     a = sorted(map(tuple, con.execute(TA_PACK_SQL).fetchall()))
     b = sorted(map(tuple, con.execute(naive).fetchall()))
     assert a == b
+
+
+def test_mixture_sample_gate_and_min_domain():
+    """Every kept doc passes its domain's hash gate, and the smallest
+    domain (rate 1e6) keeps every one of its docs."""
+    from kie_invoice_minimal_spark.operators.text_analysis import (
+        SAMPLE_PPM,
+        TA_MIXTURE_SAMPLE_SQL,
+    )
+
+    con = _con()
+    bad = con.execute(
+        f"""SELECT count(*) FROM ({TA_MIXTURE_SAMPLE_SQL})
+            WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % {SAMPLE_PPM} >= rate_ppm"""
+    ).fetchone()[0]
+    assert bad == 0
+    # the min-token domain has rate exactly SAMPLE_PPM -> all docs kept
+    full = con.execute(
+        f"""
+WITH g AS (SELECT lang, source, sum(len(string_split(text,' '))) AS t
+           FROM documents GROUP BY lang, source),
+m AS (SELECT lang, source FROM g WHERE t = (SELECT min(t) FROM g) LIMIT 1)
+SELECT (SELECT count(*) FROM documents d JOIN m USING (lang, source)),
+       (SELECT count(*) FROM ({TA_MIXTURE_SAMPLE_SQL}) s JOIN m USING (lang, source))
+"""
+    ).fetchone()
+    assert full[0] == full[1] and full[0] > 0
+    kept = con.execute(
+        f"SELECT count(*) FROM ({TA_MIXTURE_SAMPLE_SQL})"
+    ).fetchone()[0]
+    assert 0 < kept < 500  # balanced sampling thins the big domains
