@@ -545,10 +545,18 @@ def ta_redact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim with the detector AND with DuckDB's RE2 (which lacks the
     lookarounds an in-text boundary match would need).  Pure narrow map —
     zero shuffles."""
-    from ..functions import rules
     from ..sources.transcripts import transcripts_from_documents
 
-    t = transcripts_from_documents(spark, sf_dir)
+    return redact_turns(transcripts_from_documents(spark, sf_dir))
+
+
+def redact_turns(t: DataFrame) -> DataFrame:
+    """The redaction projection over a (conv_id, turn_idx, text)-shaped
+    DataFrame.  STATELESS, so it runs unchanged under Structured Streaming
+    (tests/test_streaming.py pins stream == batch) — the scrub can sit
+    inline in the ingestion stream, not only as a batch pass."""
+    from ..functions import rules
+
     toks = F.split(F.col("text"), " ")
     red = F.transform(
         toks,

@@ -253,3 +253,32 @@ def test_streaming_exact_dedup(spark, tmp_path):
         .collect()
     }
     assert {r.text_fp for r in got} == batch_fps
+
+
+def test_streaming_redaction_matches_batch(spark, tmp_path):
+    """The redaction projection (ta_redact_spans' body) is stateless, so it
+    must produce identical rows when run over an incremental file stream —
+    curation can happen inline at ingestion time."""
+    from kie_invoice_minimal_spark.operators.text_analysis import redact_turns
+
+    in_dir = str(tmp_path / "in_redact")
+    t = synth_transcripts(spark, 400)
+    t.filter("turn_idx < 2").write.mode("append").parquet(in_dir)
+    t.filter("turn_idx >= 2").write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(t.schema).parquet(in_dir)
+    q = (
+        redact_turns(stream)
+        .writeStream.format("memory")
+        .queryName("redact_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM redact_test").collect()}
+    finally:
+        q.stop()
+    want = {tuple(r) for r in redact_turns(t).collect()}
+    assert got == want
+    assert any(r[3] > 0 or r[4] > 0 for r in got)  # redactions actually occur
