@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_pack_sequences": TA.ta_pack_sequences,
         "ta_mixture_weights": TA.ta_mixture_weights,
         "ta_mixture_sample": TA.ta_mixture_sample,
+        "ta_curate_corpus_v2": TA.ta_curate_corpus_v2,
         # 29-50: certified entries most coupled to the changed code
         "e2_band_self_join": R.e2_band_self_join,
         "cc_event_pairs": _cc_event_pairs,
@@ -154,13 +155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": DD.dd_exact,
         "dd_minhash_signatures": DD.dd_minhash_signatures,
         "dd_minhash_lsh_pairs": DD.dd_minhash_lsh_pairs,
-        "dd_simhash": DD.dd_simhash,
         "dd_ngram_jaccard": DD.dd_ngram_jaccard,
         "dd_lsh_verified_dups": DD.dd_lsh_verified_dups,
         "dd_embedding_cosine": DD.dd_embedding_cosine,
         "dd_dup_clusters": DD.dd_dup_clusters,
         "dd_band_clusters": DD.dd_band_clusters,
         # 51+: frozen driver-green since r01/r02, guarded by the local gate
+        "dd_simhash": DD.dd_simhash,
         "ss_topk_bruteforce": SS.ss_topk_bruteforce,
         "ss_lsh_buckets": SS.ss_lsh_buckets,
         "ss_lsh_ann": SS.ss_lsh_ann,
@@ -223,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_pack_sequences": TA.TA_PACK_SQL,
         "ta_mixture_weights": TA.TA_MIXTURE_SQL,
         "ta_mixture_sample": TA.TA_MIXTURE_SAMPLE_SQL,
+        "ta_curate_corpus_v2": TA.TA_CURATE_V2_SQL,
         "dd_exact": DD.DD_EXACT_SQL,
         "dd_minhash_signatures": DD.DD_MINHASH_SIG_SQL,
         "dd_minhash_lsh_pairs": DD.DD_MINHASH_LSH_SQL,

@@ -664,3 +664,41 @@ SELECT d.doc_id, d.lang, d.source, r.rate_ppm
 FROM d JOIN r USING (lang, source)
 WHERE {MDHASH_SQL("CAST(doc_id AS VARCHAR)")} % {SAMPLE_PPM} < r.rate_ppm
 """
+
+
+# --- full curation composition ------------------------------------------------------
+
+def ta_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pass, composed from the registered operators
+    themselves (zero drift): exact-dedup keepers x quality x language
+    (ta_curate_corpus), minus repetitive docs (ta_repetition_filter),
+    intersected with the deterministic domain-balanced sample
+    (ta_mixture_sample).  What ships to pretraining is exactly this join.
+
+    Shape: three branches over the same documents scan, joined on doc_id —
+    each branch keeps its own operator's scale properties (map-side
+    combined aggs, hash gating); the joins are doc_id equi-joins on
+    already-thinned sides."""
+    cur = ta_curate_corpus(spark, sf_dir)
+    rep = ta_repetition_filter(spark, sf_dir).select(
+        "doc_id", "dup_2gram_frac", "is_repetitive"
+    )
+    samp = ta_mixture_sample(spark, sf_dir).select("doc_id", "rate_ppm")
+    return (
+        cur.join(rep, "doc_id")
+        .filter(~F.col("is_repetitive"))
+        .join(samp, "doc_id")
+        .select("doc_id", "quality_score", "lang_pred", "dup_2gram_frac", "rate_ppm")
+    )
+
+
+TA_CURATE_V2_SQL = f"""
+WITH cur AS ({TA_CURATE_SQL}),
+rep AS ({TA_REPETITION_SQL}),
+samp AS ({TA_MIXTURE_SAMPLE_SQL})
+SELECT c.doc_id, c.quality_score, c.lang_pred, r.dup_2gram_frac, s.rate_ppm
+FROM cur c
+JOIN rep r USING (doc_id)
+JOIN samp s USING (doc_id)
+WHERE NOT r.is_repetitive
+"""

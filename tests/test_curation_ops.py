@@ -214,3 +214,26 @@ SELECT (SELECT count(*) FROM documents d JOIN m USING (lang, source)),
         f"SELECT count(*) FROM ({TA_MIXTURE_SAMPLE_SQL})"
     ).fetchone()[0]
     assert 0 < kept < 500  # balanced sampling thins the big domains
+
+
+def test_curate_v2_is_the_intersection():
+    """v2 == curate ∩ non-repetitive ∩ sampled, strictly thinner than any
+    single stage and non-empty on the fixture."""
+    from kie_invoice_minimal_spark.operators.text_analysis import (
+        TA_CURATE_SQL,
+        TA_CURATE_V2_SQL,
+        TA_MIXTURE_SAMPLE_SQL,
+    )
+
+    con = _con()
+    v2 = {r[0] for r in con.execute(TA_CURATE_V2_SQL).fetchall()}
+    cur = {r[0] for r in con.execute(TA_CURATE_SQL).fetchall()}
+    samp = {r[0] for r in con.execute(TA_MIXTURE_SAMPLE_SQL).fetchall()}
+    rep = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM ({TA_REPETITION_SQL}) WHERE NOT is_repetitive"
+        ).fetchall()
+    }
+    assert v2 == cur & samp & rep
+    assert 0 < len(v2) < len(cur)
