@@ -82,10 +82,10 @@ def main() -> None:
         timings[name] = round(min(walls), 3)
 
     total = round(sum(timings.values()), 3)
-    # Full per-query timings go to a sidecar file: the 71-entry JSON line
-    # outgrew the driver's tail capture in r02 ("parsed": null), so stdout's
-    # LAST line is a compact summary the driver can always parse, pointing
-    # at the sidecar for the full breakdown.
+    # Full per-query timings go to a sidecar file: the full per-query JSON
+    # line outgrew the driver's tail capture in r02 ("parsed": null), so
+    # stdout's LAST line is a compact summary the driver can always parse,
+    # pointing at the sidecar for the full breakdown.
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
     full = {
         "metric": "kg_pipeline_and_operator_suite_runtime",

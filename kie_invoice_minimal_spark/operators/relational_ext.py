@@ -124,11 +124,21 @@ def a2a3_message_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     gate = 1.0 / (1.0 + F.exp(F.col("adus") / F.lit(float(B)) - 0.5))
+    # FIXED-POINT accumulation (CLAUDE.md float-sum rule): the per-edge gate
+    # terms are quantized to integers (gv in micro-units, g in nano-units)
+    # BEFORE summing, so the aggregation is exact bigint arithmetic and the
+    # result cannot depend on Spark's partial-agg order vs DuckDB's scan
+    # order; the only float ops are per-edge (deterministic) and one final
+    # division.  Quantization error <= 1e-6 on h_agg, rounded at ROUND_DP.
+    gv_fx = F.round(gate * F.col("src_value") * 1e6, 0).cast("bigint")
+    g_fx = F.round(gate * 1e9, 0).cast("bigint")
     return (
-        edges.select("event_id", (gate * F.col("src_value")).alias("gv"), gate.alias("g"))
+        edges.select("event_id", gv_fx.alias("gv_fx"), g_fx.alias("g_fx"))
         .groupBy("event_id")
         .agg(
-            F.round(F.sum("gv") / (F.sum("g") + 1e-6), ROUND_DP).alias("h_agg"),
+            F.round(
+                (F.sum("gv_fx") / 1e6) / (F.sum("g_fx") / 1e9 + 1e-6), ROUND_DP
+            ).alias("h_agg"),
             F.count("*").cast("bigint").alias("n_in"),
         )
     )
@@ -153,11 +163,15 @@ edges AS (
 ),
 gated AS (
   SELECT event_id,
-         (1.0 / (1.0 + exp(adus / {A2A3_BAND_US}.0 - 0.5))) * src_value AS gv,
-         1.0 / (1.0 + exp(adus / {A2A3_BAND_US}.0 - 0.5)) AS g
+         CAST(round((1.0 / (1.0 + exp(adus / {A2A3_BAND_US}.0 - 0.5)))
+                    * src_value * 1000000.0, 0) AS BIGINT) AS gv_fx,
+         CAST(round((1.0 / (1.0 + exp(adus / {A2A3_BAND_US}.0 - 0.5)))
+                    * 1000000000.0, 0) AS BIGINT) AS g_fx
   FROM edges
 )
-SELECT event_id, round(sum(gv) / (sum(g) + 1e-6), {ROUND_DP}) AS h_agg,
+SELECT event_id,
+       round((sum(gv_fx) / 1000000.0) / (sum(g_fx) / 1000000000.0 + 1e-6),
+             {ROUND_DP}) AS h_agg,
        count(*) AS n_in
 FROM gated GROUP BY event_id
 """

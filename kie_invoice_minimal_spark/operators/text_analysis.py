@@ -35,6 +35,24 @@ def MDHASH_SQL(expr: str) -> str:
     return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+
+def ngram_array(toks, n: int):
+    """Token n-grams of an array column, guarded for short inputs: Spark's
+    sequence(1, x) DESCENDS when x <= 0 ([1, 0] -> slice(_, 0, _) throws),
+    where DuckDB's range(1, x+1) is simply empty — the when() gives both
+    dialects the empty list for size < n.  Centralized after this bug class
+    bit ta_fingerprint in round 3; every new n-gram operator should use
+    this (dedup._tok_shingles deliberately differs: it emits the whole
+    short text as one shingle, mirrored in its own twin)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -183,16 +201,7 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     token order for the shingle variant's sorted distinct 3-gram set)."""
     d = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.col("text")), " ")
-    # guard n<3: Spark's sequence(1, 0) DESCENDS ([1, 0]) and slice(_, 0, _)
-    # throws, where DuckDB's range(1, 1) is empty — the when() makes both
-    # dialects emit the empty shingle set for 1-2-token docs
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = ngram_array(toks, 3)  # short-doc-guarded (see ngram_array)
     return d.select(
         "doc_id",
         mdhash_spark(F.lower(F.col("text"))).alias("text_fp"),
@@ -339,13 +348,7 @@ def ta_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tarr = F.split(F.col("text"), " ")
-    grams_arr = F.when(
-        F.size(tarr) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tarr) - 1),
-            lambda i: F.concat_ws(" ", F.slice(tarr, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams_arr = ngram_array(tarr, 2)
     grams = d.select("doc_id", F.explode(grams_arr).alias("gram"))
     gstats = (
         grams.groupBy("doc_id", "gram")
@@ -630,10 +633,15 @@ def ta_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
     )
     g = d.groupBy("lang", "source").agg(F.sum("n_tok").alias("dom_tokens"))
+    # decimal(38,0) widening: bigint * 1e6 would wrap (Spark) / raise
+    # (DuckDB) once the smallest domain passes ~9.2e12 tokens — realistic at
+    # the 100 TB design point; DECIMAL in Spark / HUGEINT in the twin keep
+    # the arithmetic exact and overflow-free
     g = g.withColumn(
         "rate_ppm",
         F.floor(
-            F.min("dom_tokens").over(Window.partitionBy()) * SAMPLE_PPM
+            F.min("dom_tokens").over(Window.partitionBy()).cast("decimal(38,0)")
+            * SAMPLE_PPM
             / F.col("dom_tokens")
         ).cast("bigint"),
     )
@@ -656,8 +664,8 @@ g AS (
 ),
 r AS (
   SELECT lang, source,
-         CAST(floor(min(dom_tokens) OVER () * {SAMPLE_PPM} / dom_tokens) AS BIGINT)
-           AS rate_ppm
+         CAST((CAST(min(dom_tokens) OVER () AS HUGEINT) * {SAMPLE_PPM})
+              // dom_tokens AS BIGINT) AS rate_ppm
   FROM g
 )
 SELECT d.doc_id, d.lang, d.source, r.rate_ppm
