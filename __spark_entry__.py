@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_mixture_weights": TA.ta_mixture_weights,
         "ta_mixture_sample": TA.ta_mixture_sample,
         "ta_curate_corpus_v2": TA.ta_curate_corpus_v2,
+        "ss_lsh_multitable_ann": SS.ss_lsh_multitable_ann,
         # 36-50: certified entries most coupled to the changed code
         "e2_band_self_join": R.e2_band_self_join,
         "cc_event_pairs": _cc_event_pairs,
@@ -157,7 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_canonical": _kg_triples_canonical,
         "g3_nearest_neighbor": R.g3_nearest_neighbor,
         "g6_stratified_split": R.g6_stratified_split,
-        "dd_exact": DD.dd_exact,
         "dd_minhash_signatures": DD.dd_minhash_signatures,
         "dd_minhash_lsh_pairs": DD.dd_minhash_lsh_pairs,
         "dd_ngram_jaccard": DD.dd_ngram_jaccard,
@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_dup_clusters": DD.dd_dup_clusters,
         "dd_band_clusters": DD.dd_band_clusters,
         # 51+: frozen driver-green since r01/r02, guarded by the local gate
+        "dd_exact": DD.dd_exact,
         "dd_simhash": DD.dd_simhash,
         "ss_topk_bruteforce": SS.ss_topk_bruteforce,
         "ss_lsh_buckets": SS.ss_lsh_buckets,
@@ -230,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_mixture_weights": TA.TA_MIXTURE_SQL,
         "ta_mixture_sample": TA.TA_MIXTURE_SAMPLE_SQL,
         "ta_curate_corpus_v2": TA.TA_CURATE_V2_SQL,
+        "ss_lsh_multitable_ann": SS.SS_LSH_MT_ANN_SQL,
         "dd_exact": DD.DD_EXACT_SQL,
         "dd_minhash_signatures": DD.DD_MINHASH_SIG_SQL,
         "dd_minhash_lsh_pairs": DD.DD_MINHASH_LSH_SQL,

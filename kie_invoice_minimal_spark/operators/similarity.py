@@ -140,7 +140,15 @@ SELECT vec_id, CAST({_bucket_sql()} AS INTEGER) AS bucket FROM e
 
 def ss_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: exact cosine restricted to same-bucket candidates —
-    the scan is an equi-join on bucket instead of a full cross product."""
+    the scan is an equi-join on bucket instead of a full cross product.
+
+    CONTRACT NOTE (measured round 3): this is the SINGLE-table formulation
+    — 8 AND'd bits shatter the isotropic fixture into ~2-doc buckets, so
+    its recall@10 vs bruteforce is 0.00 there (test-pinned as the
+    motivating measurement).  It remains registered as the minimal
+    bucketed-equi-join shape; real workloads should use
+    ss_lsh_multitable_ann (OR-amplified, recall 0.52 isotropic / 1.00
+    clustered) or ss_ivf_ann."""
     e = _emb(spark, sf_dir)
     withb = e.withColumn("bucket", _bucket_expr_spark())
     q = withb.filter(F.pmod("vec_id", F.lit(QUERY_MOD)) == 0).select(
@@ -298,3 +306,128 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+# --- multi-table (OR-amplified) LSH ANN ---------------------------------------------
+
+N_TABLES = 4
+PLANES_PER_TABLE = 4
+# independent ±1 hyperplanes for the multi-table variant (seed 43, distinct
+# from the single-table HYPERPLANES so the two operators stay independent)
+_rng_mt = np.random.RandomState(43)
+MT_HYPERPLANES: list[list[int]] = (
+    (_rng_mt.randint(0, 2, size=(N_TABLES * PLANES_PER_TABLE, DIM)) * 2 - 1).tolist()
+)
+
+
+def _mt_bucket_expr(t: int):
+    terms = []
+    for p in range(PLANES_PER_TABLE):
+        plane = MT_HYPERPLANES[t * PLANES_PER_TABLE + p]
+        coeffs = F.array(*[F.lit(float(c)) for c in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        terms.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    total = terms[0]
+    for term in terms[1:]:
+        total = total + term
+    return total.cast("int")
+
+
+def ss_lsh_multitable_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified LSH ANN: N_TABLES independent PLANES_PER_TABLE-bit
+    signature tables; candidates = union of same-bucket pairs across
+    tables, then exact cosine top-k.
+
+    WHY a second LSH operator: the single-table ss_lsh_ann AND-amplifies 8
+    bits into ~2-doc buckets, and its measured recall@10 on the isotropic
+    fixture is 0.00 (tests/test_similarity_recall.py) — the textbook
+    single-table failure.  Four OR'd 4-bit tables scan ~24% of the corpus
+    for recall 0.52 on the same isotropic data (the scanned-fraction wall,
+    as with IVF; pinned >= 0.45), and 1.00 on a clustered corpus.
+    Shape: explode into (table, bucket) → equi-join → DISTINCT pair dedup
+    across tables → windowed top-k; no cross join anywhere."""
+    e = _emb(spark, sf_dir)
+    withb = e.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), _mt_bucket_expr(t).alias("bkt")
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", "tb.tbl", "tb.bkt")
+    q = withb.filter(F.pmod("vec_id", F.lit(QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl", "bkt"
+    )
+    cand = (
+        q.join(withb, ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def _mt_bucket_sql(t: int) -> str:
+    bits = []
+    for p in range(PLANES_PER_TABLE):
+        plane = MT_HYPERPLANES[t * PLANES_PER_TABLE + p]
+        lits = ", ".join(f"{float(c)}" for c in plane)
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(v, [{lits}]),"
+            f" z -> z[1] * z[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def lsh_mt_ann_sql(
+    query_mod: int = QUERY_MOD, top_k: int = TOP_K, table: str = "embeddings"
+) -> str:
+    tb_structs = ", ".join(
+        f"struct_pack(tbl := {t}, bkt := CAST({_mt_bucket_sql(t)} AS INTEGER))"
+        for t in range(N_TABLES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+withb AS (
+  SELECT vec_id, v, tb.tbl AS tbl, tb.bkt AS bkt
+  FROM (SELECT vec_id, v, unnest([{tb_structs}]) AS tb FROM e)
+),
+q AS (SELECT vec_id AS query_id, v AS qv, tbl, bkt FROM withb
+      WHERE vec_id % {query_mod} = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, w.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='q.qv', b='w.v')} AS cosine
+  FROM q JOIN withb w ON w.tbl = q.tbl AND w.bkt = q.bkt
+                     AND w.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {top_k}
+"""
+
+
+SS_LSH_MT_ANN_SQL = lsh_mt_ann_sql()

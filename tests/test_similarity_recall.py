@@ -82,3 +82,39 @@ def test_ivf_recall_on_clustered_corpus():
     ann = ivf_ann_sql(n_centroids=8, n_probe=2, query_mod=20, table="clustered")
     r = _recall_at_k(con, bf, ann)
     assert r >= 0.90, f"clustered recall@10 at (8,2) regressed: {r:.3f}"
+
+
+def test_single_table_lsh_recall_is_zero_and_multitable_fixes_it():
+    """The measured motivation for ss_lsh_multitable_ann: one 8-bit table
+    AND-amplifies 500 isotropic vectors into ~2-doc buckets (recall@10 =
+    0.00); four OR'd 4-bit tables recover 0.52 at a ~24% scan."""
+    from kie_invoice_minimal_spark.operators.similarity import (
+        SS_LSH_ANN_SQL,
+        lsh_mt_ann_sql,
+    )
+
+    con = _fixture_con()
+    bf = topk_sql()
+    single = _recall_at_k(con, bf, SS_LSH_ANN_SQL)
+    multi = _recall_at_k(con, bf, lsh_mt_ann_sql())
+    assert single <= 0.05, f"single-table recall unexpectedly high: {single:.3f}"
+    assert multi >= 0.45, f"multi-table recall regressed: {multi:.3f}"
+
+
+def test_multitable_lsh_recall_on_clustered_corpus():
+    from kie_invoice_minimal_spark.operators.similarity import lsh_mt_ann_sql
+
+    rng = np.random.RandomState(7)
+    k, n = 4, 200
+    centers = rng.randn(k, 64) * 3.0
+    vecs = np.vstack([centers[i % k] + 0.3 * rng.randn(64) for i in range(n)])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    con = duckdb.connect()
+    con.register("clustered_pdf", pdf)
+    con.execute("CREATE VIEW clustered AS SELECT * FROM clustered_pdf")
+    bf = topk_sql(query_mod=20, table="clustered")
+    ann = lsh_mt_ann_sql(query_mod=20, table="clustered")
+    r = _recall_at_k(con, bf, ann)
+    assert r >= 0.90, f"clustered multi-table recall regressed: {r:.3f}"
