@@ -44,3 +44,31 @@ def test_oracle_registry_is_consistent():
     # every oracle refers to a registered query; only approx_stats may omit
     assert set(os_) <= set(qs)
     assert set(qs) - set(os_) == {"approx_stats"}
+
+
+def test_certification_window_holds_round3_critical_entries():
+    """The driver snapshots exactly the first 50 queries() entries, so
+    every round-3 rewritten/new operator and the 21 previously-uncertified
+    entries MUST sit inside positions 0-49 (see the queries() docstring).
+    This pins the ordering mechanically so a refactor cannot silently push
+    a needs-certification entry past the cutoff."""
+    names = list(entrymod.queries())
+    first50 = set(names[:50])
+    critical = {
+        # rewritten or new in round 3
+        "a2a3_message_pass", "dd_contamination", "ss_ivf_ann",
+        "kg_mentions_rescan", "ta_repetition_filter", "ta_redact_spans",
+        "ta_pack_sequences", "ta_mixture_weights", "ta_mixture_sample",
+        "ta_curate_corpus_v2", "ss_lsh_multitable_ann", "dd_band_clusters",
+        # never driver-certified before round 3
+        "g5_turn_rank", "g5_merge_conversations", "g4_realign_semi_join",
+        "setop_split_check", "asof_click_after_view", "stats_percentiles",
+        "w_ntile_lag", "w_range_frame", "cube_doc_stats",
+        "grouping_sets_doc_stats", "tpch_q1_pricing", "o3_confusion_pivot",
+        "unpivot_readout", "approx_stats", "sessionize_events",
+        "topk_orders_per_cust", "el_levenshtein_pairs",
+        "p4_threshold_fallback", "interval_overlap_join",
+        "anti_join_no_orders", "outer_join_order_counts",
+    }
+    missing = critical - first50
+    assert not missing, f"pushed past the 50-entry snapshot: {sorted(missing)}"
