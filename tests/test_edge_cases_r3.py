@@ -44,3 +44,26 @@ def test_fingerprint_short_docs_match_twin(spark, tmp_path):
     # 0-, 1- and 2-token docs share the empty shingle set -> same shingle_fp
     assert got[0][1] == got[1][1] == got[3][1]
     assert got[2][1] != got[0][1]  # a real 3-gram differs from empty
+
+
+def test_new_curation_ops_on_empty_documents(spark, tmp_path):
+    """Empty corpus in -> empty (not crashed) out, for every round-3
+    curation operator — the repo's standard degenerate-input probe."""
+    from kie_invoice_minimal_spark.operators.text_analysis import (
+        ta_mixture_sample,
+        ta_mixture_weights,
+        ta_pack_sequences,
+        ta_repetition_filter,
+    )
+
+    out = os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(out)
+    for fn in (
+        ta_repetition_filter,
+        ta_pack_sequences,
+        ta_mixture_weights,
+        ta_mixture_sample,
+    ):
+        assert fn(spark, str(tmp_path)).count() == 0, fn.__name__
