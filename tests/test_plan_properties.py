@@ -70,3 +70,14 @@ def test_contamination_has_no_forced_broadcast(spark):
     assert "ResolvedHint" not in optimized and "BROADCAST" not in optimized, (
         optimized[:500]
     )
+
+
+def test_pack_heavy_window_is_bucket_partitioned(spark):
+    """ta_pack_sequences' corpus-wide cumsum must stay a bucketed window —
+    a bare Window.orderBy(doc_id) would drag the whole table through ONE
+    task.  The per-doc window must carry a bkt partition spec; only the
+    tiny per-bucket-aggregate window may be global."""
+    plan = _plan(entrymod.queries()["ta_pack_sequences"](spark, SF))
+    assert re.search(
+        r"windowspecdefinition\(bkt#\d+L, doc_id#\d+L ASC", plan
+    ), "per-doc cumsum lost its bucket partitioning:\n" + plan
