@@ -778,17 +778,165 @@ UNPIVOT_SQL = _unpivot_sql()
 
 # --- approximate sketches (no exact oracle by nature: rows-only check) ------------------
 
+KMV_K = 64            # bottom-k size of the distinct sketch (rel σ ≈ 1/√(k−2) ≈ 12.7%)
+SAMPLE_K = 256        # bottom-k sample size of the quantile sketch
+_SKETCH_SALT = 64     # two-level top-k fan-in (same cure as ta_pack_sequences)
+_HASH_SPACE = 1 << 60  # mdhash range: first 15 md5 hex chars = 60 bits
+
+
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct + t-digest quantiles — the sketch toolkit for 100 TB
-    profiling.  Sketch internals differ across engines, so this query has
-    no DuckDB oracle (driver records a rows-only check); a pytest bounds
-    the estimates against exact values instead."""
+    """Approximate distinct users + median value per event_type via
+    DETERMINISTIC mergeable sketches that are exactly reproducible across
+    engines (r3 verdict item 2: the HLL/t-digest version was the one
+    permanently-`no_oracle` driver row, because those sketch internals are
+    engine-private; these are pure order statistics of a shared md5 hash,
+    so DuckDB computes byte-identical results and the hash gate applies):
+
+    - ``approx_users``: KMV / bottom-k distinct sketch (Bar-Yossef et al.
+      2002) — estimate ``(k−1)·2^60 DIV h_k`` from the k-th smallest
+      DISTINCT 60-bit hash of user_id; exact count when a group holds
+      fewer than k distinct hashes (the sf0.001 groups take this branch,
+      the sf0.01+ groups the estimator branch).
+    - ``approx_p50``: exact median (lower-middle order statistic, no
+      interpolation arithmetic) of a deterministic bottom-k sample — the
+      k rows with smallest md5(event_id) per group.
+
+    Both sketches are mergeable (union of bottom-k sets = bottom-k of
+    union), which is what makes them sketches at 100 TB and not a collect.
+    Accuracy vs exact values is pinned in tests/test_approx_bounds.py.
+
+    Scale shape: each bottom-k runs TWO-LEVEL — per-(group, h%salt) top-k
+    windows over small cells, then a final top-k over ≤ salt·k survivors —
+    so no window sorts a whole group in a single task.
+
+    Reference analog: metric profiling in scripts/evaluate.py:119-131.
+    """
+    from pyspark.sql import Window
+
+    from .text_analysis import mdhash_spark
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").cast("bigint").alias("approx_users"),
-        F.round(F.expr("percentile_approx(value, 0.5)"), 2).alias("approx_p50"),
-        F.count("*").cast("bigint").alias("n"),
+
+    # --- KMV distinct-user sketch -------------------------------------------------
+    du = ev.select(
+        "event_type", mdhash_spark(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w1 = Window.partitionBy("event_type", F.col("h") % _SKETCH_SALT).orderBy("h")
+    lvl1 = du.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= KMV_K)
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    botk = lvl1.drop("rn").withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= KMV_K
     )
+    kmv = botk.groupBy("event_type").agg(
+        F.count("*").alias("n_h"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("h_k"),
+    )
+    users = kmv.select(
+        "event_type",
+        F.when(F.col("n_h") < KMV_K, F.col("n_h").cast("bigint"))
+        .otherwise(
+            F.expr(
+                f"CAST((CAST({KMV_K - 1} AS DECIMAL(38,0)) * {_HASH_SPACE})"
+                " DIV h_k AS BIGINT)"
+            )
+        )
+        .alias("approx_users"),
+    )
+
+    # --- bottom-k sampled median ---------------------------------------------------
+    sm = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "event_id", "value",
+        mdhash_spark(F.col("event_id").cast("string")).alias("hs"),
+    )
+    v1 = Window.partitionBy("event_type", F.col("hs") % _SKETCH_SALT).orderBy(
+        "hs", "event_id"
+    )
+    slvl1 = sm.withColumn("rn", F.row_number().over(v1)).filter(
+        F.col("rn") <= SAMPLE_K
+    )
+    v2 = Window.partitionBy("event_type").orderBy("hs", "event_id")
+    samp = slvl1.drop("rn").withColumn("rn", F.row_number().over(v2)).filter(
+        F.col("rn") <= SAMPLE_K
+    )
+    vw = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    meds = (
+        samp.withColumn("vr", F.row_number().over(vw))
+        .withColumn("n_s", F.count("*").over(cw))
+        .filter(F.col("vr") == F.expr("CAST((n_s + 1) DIV 2 AS INT)"))
+        .select("event_type", F.col("value").alias("approx_p50"))
+    )
+
+    n_exact = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    return users.join(meds, "event_type").join(n_exact, "event_type")
+
+
+def approx_stats_sql() -> str:
+    """DuckDB twin of approx_stats — the SAME order-statistic sketches over
+    the SAME 60-bit md5 hash, so values (not just rows/schema) match."""
+    from .text_analysis import MDHASH_SQL
+
+    hu = MDHASH_SQL("CAST(user_id AS VARCHAR)")
+    he = MDHASH_SQL("CAST(event_id AS VARCHAR)")
+    return f"""
+WITH du AS (
+  SELECT DISTINCT event_type, {hu} AS h FROM events
+),
+l1 AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type, h % {_SKETCH_SALT}
+                            ORDER BY h) AS rn
+  FROM du
+),
+l2 AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM l1 WHERE rn <= {KMV_K}
+),
+kmv AS (
+  SELECT event_type, count(*) AS n_h,
+         max(CASE WHEN rn = {KMV_K} THEN h END) AS h_k
+  FROM l2 WHERE rn <= {KMV_K} GROUP BY event_type
+),
+users AS (
+  SELECT event_type,
+         CASE WHEN n_h < {KMV_K} THEN CAST(n_h AS BIGINT)
+              ELSE CAST((CAST({KMV_K - 1} AS HUGEINT) * {_HASH_SPACE}) // h_k
+                        AS BIGINT) END AS approx_users
+  FROM kmv
+),
+sm AS (
+  SELECT event_type, event_id, value, {he} AS hs
+  FROM events WHERE value IS NOT NULL
+),
+s1 AS (
+  SELECT event_type, event_id, value, hs,
+         row_number() OVER (PARTITION BY event_type, hs % {_SKETCH_SALT}
+                            ORDER BY hs, event_id) AS rn
+  FROM sm
+),
+s2 AS (
+  SELECT event_type, event_id, value, hs,
+         row_number() OVER (PARTITION BY event_type ORDER BY hs, event_id) AS rn
+  FROM s1 WHERE rn <= {SAMPLE_K}
+),
+samp AS (SELECT * FROM s2 WHERE rn <= {SAMPLE_K}),
+meds AS (
+  SELECT event_type, value AS approx_p50
+  FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS vr,
+           count(*) OVER (PARTITION BY event_type) AS n_s
+    FROM samp
+  ) WHERE vr = (n_s + 1) // 2
+),
+n_exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type
+)
+SELECT u.event_type, u.approx_users, m.approx_p50, x.n
+FROM users u JOIN meds m USING (event_type) JOIN n_exact x USING (event_type)
+"""
 
 
 # --- batch sessionization (lag + gap cumsum) ------------------------------------------

@@ -637,14 +637,19 @@ def ta_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (DuckDB) once the smallest domain passes ~9.2e12 tokens — realistic at
     # the 100 TB design point; DECIMAL in Spark / HUGEINT in the twin keep
     # the arithmetic exact and overflow-free
+    # exact truncating integer division (DIV), matching DuckDB's `//`:
+    # decimal `/` rounds HALF_UP at the result scale BEFORE floor(), which
+    # disagrees with floor by 1 ppm when min*1e6/dom_tokens falls within
+    # ~5e-7 below an integer — reachable once domains pass ~2e12 tokens
     g = g.withColumn(
+        "min_tok", F.min("dom_tokens").over(Window.partitionBy())
+    ).withColumn(
         "rate_ppm",
-        F.floor(
-            F.min("dom_tokens").over(Window.partitionBy()).cast("decimal(38,0)")
-            * SAMPLE_PPM
-            / F.col("dom_tokens")
-        ).cast("bigint"),
-    )
+        F.expr(
+            f"CAST((CAST(min_tok AS DECIMAL(38,0)) * {SAMPLE_PPM})"
+            " DIV dom_tokens AS BIGINT)"
+        ),
+    ).drop("min_tok")
     gate = F.pmod(mdhash_spark(F.col("doc_id").cast("string")), F.lit(SAMPLE_PPM))
     return (
         d.join(g.select("lang", "source", "rate_ppm"), ["lang", "source"])

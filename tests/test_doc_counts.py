@@ -41,34 +41,36 @@ def test_plans_table_covers_every_registered_query():
 
 def test_oracle_registry_is_consistent():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
-    # every oracle refers to a registered query; only approx_stats may omit
+    # every oracle refers to a registered query, and (since approx_stats'
+    # r4 KMV rewrite) every registered query has an oracle
     assert set(os_) <= set(qs)
-    assert set(qs) - set(os_) == {"approx_stats"}
+    assert set(qs) - set(os_) == set()
 
 
-def test_certification_window_holds_round3_critical_entries():
+def test_certification_window_holds_round4_critical_entries():
     """The driver snapshots exactly the first 50 queries() entries, so
-    every round-3 rewritten/new operator and the 21 previously-uncertified
-    entries MUST sit inside positions 0-49 (see the queries() docstring).
-    This pins the ordering mechanically so a refactor cannot silently push
-    a needs-certification entry past the cutoff."""
+    every round-4 value-changed operator and the 29 stale (r01/r02-last-
+    certified) entries being refreshed MUST sit inside positions 0-49
+    (see the queries() docstring).  This pins the ordering mechanically so
+    a refactor cannot silently push a needs-certification entry past the
+    cutoff."""
     names = list(entrymod.queries())
     first50 = set(names[:50])
     critical = {
-        # rewritten or new in round 3
-        "a2a3_message_pass", "dd_contamination", "ss_ivf_ann",
-        "kg_mentions_rescan", "ta_repetition_filter", "ta_redact_spans",
-        "ta_pack_sequences", "ta_mixture_weights", "ta_mixture_sample",
-        "ta_curate_corpus_v2", "ss_lsh_multitable_ann", "dd_band_clusters",
-        # never driver-certified before round 3
-        "g5_turn_rank", "g5_merge_conversations", "g4_realign_semi_join",
-        "setop_split_check", "asof_click_after_view", "stats_percentiles",
-        "w_ntile_lag", "w_range_frame", "cube_doc_stats",
-        "grouping_sets_doc_stats", "tpch_q1_pricing", "o3_confusion_pivot",
-        "unpivot_readout", "approx_stats", "sessionize_events",
-        "topk_orders_per_cust", "el_levenshtein_pairs",
-        "p4_threshold_fallback", "interval_overlap_join",
-        "anti_join_no_orders", "outer_join_order_counts",
+        # value-changed or newly oracle-paired in round 4
+        "approx_stats", "ta_mixture_sample", "ta_curate_corpus_v2",
+        # stale tail: last driver-green row dated r01/r02 (incl.
+        # ta_fingerprint, whose r3 separator change altered values)
+        "dd_exact", "dd_simhash", "ss_topk_bruteforce", "ss_lsh_buckets",
+        "ss_lsh_ann", "ta_curate_corpus", "ta_vocab_topk",
+        "mm_decode_metadata", "g5_ordered_concat", "e3_minmax_normalize",
+        "a5_group_standardize", "a6_readout", "o5_label_rollup",
+        "a8_threshold_classify", "o4_error_analysis", "ta_token_stats",
+        "ta_quality_score", "ta_lang_id", "ta_fingerprint",
+        "mm_frame_sample", "r3_text_encode", "e4_graph_norm",
+        "a10_accuracy", "o3_confusion_matrix", "o2_mention_output",
+        "p8_trim_conversations", "rollup_doc_stats", "s2_json_props",
+        "s3_mapping_join",
     }
     missing = critical - first50
     assert not missing, f"pushed past the 50-entry snapshot: {sorted(missing)}"
