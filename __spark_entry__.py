@@ -31,6 +31,7 @@ from kie_invoice_minimal_spark.plans.entity_linking import (
     alias_triples,
     canonical_triples,
     link_entities,
+    staged_el_outputs,
 )
 from kie_invoice_minimal_spark.plans.pipeline import extract_triples_df
 from kie_invoice_minimal_spark.sources.transcripts import transcripts_from_documents
@@ -87,6 +88,24 @@ def _kg_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_triples(m, emap)
 
 
+def _el_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STAGED production EL path: one materialized blocking→scorer→CC
+    run (CheckpointedPipeline snapshots), all three EL outputs derived from
+    the snapshots.  The two cheap derivations (entity_map projection, alias
+    triples) are materialized to the noop sink here so this entry's bench
+    timing is the honest COMBINED cost of everything the three cold queries
+    produce; the returned DataFrame is the canonical-triple output, whose
+    oracle twin is kg_triples_canonical's — certifying staged == cold."""
+    import tempfile
+
+    outs = staged_el_outputs(
+        spark, sf_dir, tempfile.mkdtemp(prefix="el_staged_")
+    )
+    for k in ("el_entity_map", "el_alias_triples"):
+        outs[k].write.format("noop").mode("overwrite").save()
+    return outs["kg_triples_canonical"]
+
+
 def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = R.e2_band_self_join(spark, sf_dir)
     edges = pairs.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
@@ -98,7 +117,7 @@ def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot holds
     exactly the first 50 entries in dict-iteration order (observed in
-    r01-r03).  Round-4 layout (79 entries total): positions 1-4 the
+    r01-r03).  Round-4 layout (80 entries total): positions 1-4 the
     flagship kg_* four (entry() parity); 5-33 the 29 entries whose last
     driver-green row dates from r01/r02 — the whole stale tail rotates
     through in one round (r3 verdict item 1), INCLUDING ta_fingerprint,
@@ -106,8 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shingle_fp values (the r3 docstring's "fixture-value-neutral" claim
     was wrong — r3 ADVICE item 1); 34-50 the operators changed in round 4
     (approx_stats' KMV rewrite, ta_mixture_sample's DIV fix and its
-    downstream ta_curate_corpus_v2) plus r03-certified entries most
-    coupled to changed code.  The 29 entries past position 50 all carry
+    downstream ta_curate_corpus_v2, the new el_pipeline_staged) plus
+    r03-certified entries most coupled to changed code.  The 30 entries
+    past position 50 all carry
     r03 driver-green rows and stay guarded by
     scripts/check_correctness.py (the local mimic of the gate).  When
     adding a query that needs certification, insert it INSIDE the first
@@ -176,8 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ss_lsh_multitable_ann": SS.ss_lsh_multitable_ann,
         "ta_pack_sequences": TA.ta_pack_sequences,
         "dd_contamination": DD.dd_contamination,
-        "a2a3_message_pass": RX.a2a3_message_pass,
+        "el_pipeline_staged": _el_pipeline_staged,  # new r4 (verdict item 4)
         # 51+: r03 driver-green, unchanged in r4, guarded by the local gate
+        "a2a3_message_pass": RX.a2a3_message_pass,
         "g5_turn_rank": RX.g5_turn_rank,
         "g5_merge_conversations": RX.g5_merge_conversations,
         "g4_realign_semi_join": RX.g4_realign_semi_join,
@@ -230,6 +251,8 @@ def oracle_sql() -> dict[str, str]:
         "el_entity_map": duckdb_oracle.entity_map_sql(),
         "el_alias_triples": duckdb_oracle.alias_triples_sql(),
         "kg_triples_canonical": duckdb_oracle.canonical_triples_sql(),
+        # staged == cold: same final output, derived via snapshots
+        "el_pipeline_staged": duckdb_oracle.canonical_triples_sql(),
         "cc_event_pairs": duckdb_oracle.cc_over_band_pairs_sql(R.E2_SQL),
         "ta_token_stats": TA.TA_TOKEN_STATS_SQL,
         "ta_quality_score": TA.TA_QUALITY_SQL,

@@ -82,6 +82,54 @@ def canonical_triples(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
     return materialize_triples(resolved.drop("canonical_surface"))
 
 
+def staged_el_outputs(
+    spark, sf_dir: str, root: str
+) -> dict[str, DataFrame]:
+    """All three EL outputs from ONE materialized blocking→scorer→CC run.
+
+    The self-contained registry queries (el_entity_map, el_alias_triples,
+    kg_triples_canonical) each pay a cold blocking→scorer→CC recompute from
+    the scan (18–21 exchanges each).  The production path (SCALE.md §2)
+    materializes the mentions and entity_map snapshots ONCE via
+    CheckpointedPipeline and derives all three outputs from the snapshots:
+    two are trivial projections of entity_map, the third joins the two
+    snapshots.  bench.py's el_pipeline_staged entry times this combined
+    path against the three cold runs (r3 verdict item 4).
+
+    Reference analog: staged model state reuse, scripts/train_kie.py:256-308.
+    """
+    from ..operators.mention_detect import detect_mentions_arrow, with_mention_id
+    from ..sources.checkpoints import CheckpointedPipeline, Stage
+    from ..sources.transcripts import transcripts_from_documents
+
+    def s_transcripts(sp, _up):
+        return transcripts_from_documents(sp, sf_dir)
+
+    def s_mentions(sp, up):
+        return with_mention_id(detect_mentions_arrow(up["transcripts"]))
+
+    def s_entity_map(sp, up):
+        return link_entities(up["mentions"])
+
+    done = CheckpointedPipeline(
+        spark,
+        root,
+        [
+            Stage("transcripts", s_transcripts),
+            Stage("mentions", s_mentions),
+            Stage("entity_map", s_entity_map),
+        ],
+    ).run()
+    emap, mentions = done["entity_map"], done["mentions"]
+    return {
+        "el_entity_map": emap.select("surface", "canonical_surface"),
+        "el_alias_triples": alias_triples(emap),
+        "kg_triples_canonical": canonical_triples(
+            mentions.drop("mention_id"), emap
+        ),
+    }
+
+
 def entity_resolved_mentions(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
     """Mentions with entity columns attached.  The entity map is
     distinct-surface-sized — orders of magnitude smaller than the mention
