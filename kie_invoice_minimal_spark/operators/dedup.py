@@ -826,3 +826,67 @@ SELECT doc_id, bench_doc_id, n_overlap,
 FROM inter
 WHERE n_overlap * {CONTAIN_DEN} >= n_sh * {CONTAIN_NUM}
 """
+
+
+# --- incremental (batch-vs-corpus) dedup ------------------------------------------
+
+INCR_MOD, INCR_REM = 10, 7  # doc_id % 10 == 7 -> "today's arriving batch"
+
+
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the arriving batch (deterministically
+    doc_id % 10 == 7 — the stand-in for a daily ingest partition) checked
+    against the already-ingested corpus WITHOUT comparing text: both sides
+    reduce to the 60-bit content fp, the corpus side pre-aggregates to one
+    (fp, min doc_id) row per distinct content, and the join ships only
+    fingerprints.  Per incoming doc: ``matched_corpus_doc`` (min corpus
+    doc sharing the fp; NULL = genuinely new content) and ``is_batch_dup``
+    (an earlier doc in the SAME batch already carries the fp — the
+    intra-batch dedup a daily pipeline also needs).
+
+    Scale shape: at 100 TB the corpus side is a maintained fingerprint
+    TABLE (exactly ``dd_exact``'s output), so the daily cost is
+    O(batch + fp-table join) — never a corpus rescan; this query derives
+    the fp table inline only because registry queries are self-contained.
+    Streaming twin: streaming_exact_dedup (bounded-state variant).
+    Reference analog: per-request duplicate suppression, api.py:66-84."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", mdhash_spark(F.col("text")).alias("text_fp")
+    )
+    inc = d.filter(F.pmod("doc_id", F.lit(INCR_MOD)) == INCR_REM)
+    corpus_fp = (
+        d.filter(F.pmod("doc_id", F.lit(INCR_MOD)) != INCR_REM)
+        .groupBy("text_fp")
+        .agg(F.min("doc_id").alias("matched_corpus_doc"))
+    )
+    w = Window.partitionBy("text_fp").orderBy("doc_id")
+    return (
+        inc.withColumn("rn", F.row_number().over(w))
+        .join(corpus_fp, "text_fp", "left")
+        .select(
+            "doc_id",
+            "text_fp",
+            "matched_corpus_doc",
+            (F.col("rn") > 1).alias("is_batch_dup"),
+        )
+    )
+
+
+DD_INCREMENTAL_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {MDHASH_SQL('text')} AS text_fp FROM documents
+),
+inc AS (
+  SELECT doc_id, text_fp,
+         row_number() OVER (PARTITION BY text_fp ORDER BY doc_id) AS rn
+  FROM d WHERE doc_id % {INCR_MOD} = {INCR_REM}
+),
+corpus_fp AS (
+  SELECT text_fp, min(doc_id) AS matched_corpus_doc
+  FROM d WHERE doc_id % {INCR_MOD} <> {INCR_REM} GROUP BY text_fp
+)
+SELECT i.doc_id, i.text_fp, c.matched_corpus_doc, i.rn > 1 AS is_batch_dup
+FROM inc i LEFT JOIN corpus_fp c USING (text_fp)
+"""
