@@ -1383,3 +1383,88 @@ SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_mktsegment
 """
+
+
+# --- ordered conversion funnel (view -> click -> purchase) --------------------------
+
+def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream: per user, the
+    first 'view', the first 'click' STRICTLY AFTER that view, and the
+    first 'purchase' strictly after that click — the classic ordered-
+    sequence analytic (a row must exist at stage k-1 before stage k
+    counts, so raw per-type minima are NOT enough).
+
+    Shape: three conditional-min aggregations over the same events scan,
+    each keyed on user_id and map-side combined; the stage-(k) agg joins
+    the stage-(k-1) result back to events on user_id (AQE broadcasts the
+    per-user table when it fits).  Timestamps are integer microseconds
+    end to end (TIMESTAMP_NTZ cast rule, CLAUDE.md).
+
+    Output: one row per user reaching at least stage 1, with the three
+    stage timestamps (NULL = never reached) and the stage count 1-3."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts_us") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("stage"),
+        )
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+),
+s1 AS (
+  SELECT user_id, min(ts_us) AS t_view FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts_us) AS t_click
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_us > s1.t_view
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts_us) AS t_purchase
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+       CAST(1 + (s2.user_id IS NOT NULL)::INTEGER
+              + (s3.user_id IS NOT NULL)::INTEGER AS INTEGER) AS stage
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
