@@ -23,7 +23,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(master: str, turns: int, engine: str, n_cpus: int) -> dict:
+def run_once(master: str, turns: int, engine: str, n_cpus: int, repeats: int = 1) -> dict:
     # taskset pins the whole process tree (JVM + Python workers) to exactly
     # n_cpus cores — otherwise local[8] on a 32-core box borrows extra cores
     # for GC/shuffle threads and the comparison is not N vs 4N.
@@ -35,7 +35,13 @@ def run_once(master: str, turns: int, engine: str, n_cpus: int) -> dict:
         "--engine", engine,
         "--master", master,
         "--partitions", "128",
-        "--repeats", "2",
+        # repeats=1: within one JVM a second repeat of the SAME DataFrame
+        # action reuses the first repeat's map-stage shuffle files (event-log
+        # verified round 4: the repeat job's map stage has zero tasks), so
+        # "min of 2 in-JVM repeats" measured a partially-cached run.  Fresh
+        # single-repeat JVMs (warmup still on) are the honest steady state;
+        # noise is absorbed by best-of-k ACROSS invocations instead.
+        "--repeats", str(repeats),
     ]
     out = subprocess.run(
         cmd,
@@ -53,11 +59,12 @@ def main() -> None:
     ap.add_argument("--n-low", type=int, default=8)
     ap.add_argument("--turns", type=int, default=6_000_000)
     ap.add_argument("--engine", default="arrow")
+    ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
     n_hi = args.n_low * 4
 
-    lo = run_once(f"local[{args.n_low}]", args.turns, args.engine, args.n_low)
-    hi = run_once(f"local[{n_hi}]", args.turns, args.engine, n_hi)
+    lo = run_once(f"local[{args.n_low}]", args.turns, args.engine, args.n_low, args.repeats)
+    hi = run_once(f"local[{n_hi}]", args.turns, args.engine, n_hi, args.repeats)
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
     result = {
         "metric": "scaling_efficiency_NtoN4",
