@@ -46,7 +46,11 @@ def main() -> None:
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the small untimed warmup run (codegen + python workers)")
     ap.add_argument("--repeats", type=int, default=1,
-                    help="time the job N times, report the minimum (steady state)")
+                    help="time the job N times, report the minimum. CAVEAT "
+                         "(measured r4): repeats re-execute the SAME DataFrame, "
+                         "so repeat >= 2 reuses repeat 1's map-stage shuffle "
+                         "files — use separate invocations (repeats=1) for "
+                         "honest steady-state walls; see BENCH_SCALING.md")
     ap.add_argument("--checkpoint-root",
                     help="run the staged checkpointed pipeline (transcripts -> "
                          "mentions -> entity_map -> triples) rooted here; "
