@@ -256,3 +256,74 @@ per_node AS (
 SELECT d.node AS surface, CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles
 FROM deg d LEFT JOIN per_node p USING (node)
 """
+
+
+# --- k-hop neighborhood sizes -------------------------------------------------------
+
+def kg_khop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity 1-hop and exact 2-hop neighborhood sizes over the
+    co-mention graph — the neighborhood-growth feature a graph-quality
+    monitor tracks (a flat 2-hop curve means disconnected islands, an
+    exploding one means hub contamination).
+
+    n_1hop = degree; n_2hop = #nodes at EXACTLY distance 2 (reached via a
+    neighbor, not a neighbor itself, not u).  The distance-2 set comes
+    from one self-join of the edge list with a distinct + anti-join — all
+    equi-joins on node ids.  At corpus scale the 2-hop expansion through
+    a hub is the known cost center; the operator runs on the ENTITY graph
+    (orders of magnitude smaller than the corpus), and production use
+    caps intermediate degree the same way blocking.py caps block sizes.
+    """
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    e = comention_edges(m).select("src", "dst").localCheckpoint()
+    deg = e.groupBy(F.col("src").alias("surface")).agg(
+        F.count("*").cast("long").alias("n_1hop")
+    )
+    two = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(e.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v")
+        .filter(F.col("u") != F.col("w"))
+        .select("u", "w")
+        .distinct()
+        .join(
+            e.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            ["u", "w"],
+            "left_anti",
+        )
+        .groupBy(F.col("u").alias("surface"))
+        .agg(F.count("*").cast("long").alias("n_2hop"))
+    )
+    return deg.join(two, "surface", "left").select(
+        "surface",
+        "n_1hop",
+        F.coalesce("n_2hop", F.lit(0)).cast("long").alias("n_2hop"),
+    )
+
+
+def khop_sql(mentions_sql: str) -> str:
+    types = ", ".join(f"'{t}'" for t in PR_TYPES)
+    return f"""
+WITH m AS ({mentions_sql}),
+cs AS (
+  SELECT DISTINCT conv_id, surface FROM m WHERE mention_type IN ({types})
+),
+e AS (
+  SELECT a.surface AS src, b.surface AS dst
+  FROM cs a JOIN cs b ON a.conv_id = b.conv_id AND a.surface <> b.surface
+  GROUP BY a.surface, b.surface
+),
+deg AS (SELECT src AS surface, CAST(count(*) AS BIGINT) AS n_1hop FROM e GROUP BY src),
+two AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS n_2hop FROM (
+    SELECT DISTINCT e1.src AS u, e2.dst AS w
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+  ) p
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = p.u AND e.dst = p.w)
+  GROUP BY u
+)
+SELECT d.surface, d.n_1hop, CAST(COALESCE(t.n_2hop, 0) AS BIGINT) AS n_2hop
+FROM deg d LEFT JOIN two t ON t.u = d.surface
+"""

@@ -1468,3 +1468,52 @@ SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
               + (s3.user_id IS NOT NULL)::INTEGER AS INTEGER) AS stage
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
+
+
+# --- weekly retention cohorts -------------------------------------------------------
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of their
+    FIRST event (the cohort), counted in every subsequent week they were
+    active — the (cohort_week, week_offset, n_users) long-format matrix a
+    growth dashboard pivots.  All-week arithmetic is exact integer floor
+    division of epoch microseconds (no date-truncation dialect drift).
+
+    Shape: one groupBy(user) for cohort assignment, one distinct over
+    (user, week) activity pairs, an equi-join on user_id (AQE broadcasts
+    the cohort table when it fits), and the final count — every agg
+    map-side combined, keys are (user) then (cohort, offset)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    weeks = ev.select(
+        "user_id", F.expr(f"ts_us DIV {WEEK_US}").alias("week")
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = weeks.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+EV_RETENTION_SQL = f"""
+WITH weeks AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // {WEEK_US} AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM weeks)
+SELECT c.cohort_week, CAST(a.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY c.cohort_week, a.week - c.cohort_week
+"""

@@ -191,3 +191,64 @@ def test_funnel_stage_ordering_invariants(spark):
     reach1 = stages[1] + stages[2] + stages[3]
     reach2 = stages[2] + stages[3]
     assert reach1 >= reach2 >= stages[3] > 0
+
+
+def test_khop_counts_vs_bruteforce(spark):
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        comention_edges,
+        kg_khop_counts,
+    )
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        detect_mentions_arrow,
+    )
+    from kie_invoice_minimal_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = comention_edges(
+        detect_mentions_arrow(transcripts_from_documents(spark, sf))
+    ).collect()
+    adj = {}
+    for r in e:
+        adj.setdefault(r.src, set()).add(r.dst)
+    expect = {}
+    for u, nbrs in adj.items():
+        two = set()
+        for v in nbrs:
+            two |= adj.get(v, set())
+        two -= nbrs | {u}
+        expect[u] = (len(nbrs), len(two))
+    got = {
+        r.surface: (r.n_1hop, r.n_2hop)
+        for r in kg_khop_counts(spark, sf).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # non-vacuous 2-hop
+
+
+def test_retention_cohort_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from kie_invoice_minimal_spark.operators.relational_ext import (
+        ev_retention_cohorts,
+    )
+
+    rows = ev_retention_cohorts(spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_users
+    # offset 0 exists for every cohort (the first-event week itself) and is
+    # the cohort maximum (retention can never exceed the cohort size)
+    for cw, offs in by_cohort.items():
+        assert 0 in offs, (cw, offs)
+        assert offs[0] == max(offs.values()), (cw, offs)
+    # offset-0 totals = number of distinct users
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .agg(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert sum(offs[0] for offs in by_cohort.values()) == n_users
