@@ -232,3 +232,28 @@ WHERE mention_type != 'OTHER'
 GROUP BY conv_id, mention_type
 """
     )
+
+
+def canonical_mentions_sql(keys_sql: str = "SELECT doc_id AS k FROM documents") -> str:
+    """Mentions with BRAND surfaces rewritten to their canonical form — the
+    canonicalized-mention stream that downstream KG analytics (e.g. the
+    canonical-entity PageRank) consume.  Same independent normalized-group
+    formulation as entity_map_sql."""
+    norm = NORM_SQL.format(col="surface")
+    return (
+        _classified_tokens_cte(keys_sql)
+        + f"""
+, brands AS (SELECT DISTINCT surface FROM lab WHERE mention_type = 'BRAND')
+, normed AS (SELECT surface, {norm} AS norm FROM brands)
+, emap AS (
+    SELECT n.surface, m.canonical_surface
+    FROM normed n
+    JOIN (SELECT norm, min(surface) AS canonical_surface FROM normed GROUP BY norm) m
+      USING (norm)
+)
+SELECT l.conv_id, l.turn_idx, l.pos, l.span_start, l.span_end,
+       coalesce(e.canonical_surface, l.surface) AS surface, l.mention_type
+FROM lab l LEFT JOIN emap e ON l.surface = e.surface
+WHERE l.mention_type != 'OTHER'
+"""
+    )

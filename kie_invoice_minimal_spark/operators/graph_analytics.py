@@ -327,3 +327,25 @@ two AS (
 SELECT d.surface, d.n_1hop, CAST(COALESCE(t.n_2hop, 0) AS BIGINT) AS n_2hop
 FROM deg d LEFT JOIN two t ON t.u = d.surface
 """
+
+
+# --- canonical-entity PageRank (composition with the EL stage) ----------------------
+
+def kg_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the CANONICALIZED co-mention graph: BRAND aliases are
+    first merged by the entity-linking stage (blocking -> scorer -> CC),
+    so an entity's centrality aggregates the evidence of all its surface
+    variants — the composition the KG exists for (alias 'HABECO'/'Habeco'
+    mass concentrates on one node instead of splitting).  Downstream of
+    link_entities; the oracle twin uses the independent normalized-group
+    formulation (functions/duckdb_oracle.canonical_mentions_sql)."""
+    from ..plans.entity_linking import entity_resolved_mentions, link_entities
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    emap = link_entities(m.filter(F.col("mention_type") == "BRAND"))
+    resolved = entity_resolved_mentions(
+        m, emap.select("surface", "canonical_surface")
+    ).withColumn("surface", F.coalesce("canonical_surface", "surface"))
+    return pagerank(comention_edges(resolved.drop("canonical_surface")))

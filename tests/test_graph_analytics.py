@@ -252,3 +252,27 @@ def test_retention_cohort_invariants(spark):
         .collect()[0][0]
     )
     assert sum(offs[0] for offs in by_cohort.values()) == n_users
+
+
+def test_canonical_pagerank_merges_alias_mass(spark):
+    """Canonicalization must shrink the node set (aliases merge) and every
+    BRAND node in the canonical ranking must be a canonical surface."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        kg_canonical_pagerank,
+        kg_entity_pagerank,
+    )
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    raw = {r.surface for r in kg_entity_pagerank(spark, sf).collect()}
+    canon_rows = kg_canonical_pagerank(spark, sf).collect()
+    canon = {r.surface for r in canon_rows}
+    assert len(canon) < len(raw)
+    emap = {
+        r.surface: r.canonical_surface
+        for r in em.queries()["el_entity_map"](spark, sf).collect()
+    }
+    merged_away = {s for s, c in emap.items() if s != c}
+    assert not (canon & merged_away)  # no non-canonical variant survives
+    assert {c for c in emap.values() if c in raw} <= canon | (raw - set(emap))
