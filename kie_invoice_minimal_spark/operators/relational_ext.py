@@ -1517,3 +1517,93 @@ SELECT c.cohort_week, CAST(a.week - c.cohort_week AS BIGINT) AS week_offset,
 FROM active a JOIN cohort c USING (user_id)
 GROUP BY c.cohort_week, a.week - c.cohort_week
 """
+
+
+# --- per-group least-squares trend (exact-integer moment sums) ----------------------
+
+LF_YQ = 1_000_000  # value quantum: 1e-6
+
+
+def stats_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time (slope in
+    value-units per second + intercept at the group's first event) — the
+    drift detector a metrics pipeline runs per series.
+
+    Exact cross-engine parity for a REGRESSION requires order-free moment
+    sums, so x is recentered to seconds from the group minimum (bounding
+    x at the series length) and y is quantized to 1e-6 BIGINT units; the
+    four moment sums (Sx, Sy, Sxy, Sxx) are then exact integers in both
+    engines, the closed-form numerators/denominators are computed in
+    DECIMAL(38,0)/HUGEINT (n*Sxy overflows BIGINT at ~2k rows x month
+    spans), and only the final division happens in doubles (round 6).
+    Shape: one pre-agg for the group minimum, a join back (AQE broadcasts
+    the tiny per-group table), one map-side-combined moment aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    ).filter(F.col("value").isNotNull())
+    mins = ev.groupBy("event_type").agg(F.min("ts_us").alias("t0"))
+    pts = ev.join(mins, "event_type").select(
+        "event_type",
+        F.expr("(ts_us - t0) DIV 1000000").alias("xs"),
+        F.expr(f"CAST(floor(value * {LF_YQ}) AS BIGINT)").alias("yq"),
+    )
+    # Sxy/Sxx widen to DECIMAL(38,0) BEFORE multiplying: the worst-case
+    # per-term bound span_s * y_max*1e6 already exceeds int64 on this very
+    # fixture (1.3e19 at sf0.01) — a silent Java long wrap, a loud DuckDB
+    # error; decimal/HUGEINT sums are exact in both engines
+    mom = pts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xs").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(xs AS DECIMAL(38,0)) * yq")).alias("sxy"),
+        F.sum(F.expr("CAST(xs AS DECIMAL(38,0)) * xs")).alias("sxx"),
+    )
+    num = (
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+    )
+    den = (
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) / {LF_YQ}, 6)"
+        ).alias("slope_per_sec"),
+        F.expr(
+            f"round((CAST(sy AS DOUBLE) - CAST({num} AS DOUBLE)"
+            f" / CAST({den} AS DOUBLE) * sx) / n / {LF_YQ}, 6)"
+        ).alias("intercept"),
+    )
+
+
+STATS_LINFIT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events WHERE value IS NOT NULL
+),
+mins AS (SELECT event_type, min(ts_us) AS t0 FROM ev GROUP BY event_type),
+pts AS (
+  SELECT e.event_type, (e.ts_us - m.t0) // 1000000 AS xs,
+         CAST(floor(value * {LF_YQ}) AS BIGINT) AS yq
+  FROM ev e JOIN mins m USING (event_type)
+),
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xs) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         sum(CAST(xs AS HUGEINT) * yq) AS sxy,
+         sum(CAST(xs AS HUGEINT) * xs) AS sxx
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             / {LF_YQ}, 6) AS slope_per_sec,
+       round((CAST(sy AS DOUBLE)
+              - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * sx) / n / {LF_YQ}, 6) AS intercept
+FROM mom
+"""

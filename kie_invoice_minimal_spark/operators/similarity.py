@@ -442,3 +442,65 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
 
 
 SS_LSH_MT_ANN_SQL = lsh_mt_ann_sql()
+
+
+# --- top-k over DERIVED document vectors (text -> embedding -> similarity) ----------
+
+DOC_QUERY_MOD = 100  # doc_id % 100 == 0 -> query document
+
+
+def ss_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over feature-hashed DOCUMENT vectors
+    (text_analysis.doc_vectors) — the end-to-end text → embedding →
+    similarity composition, with no external encoder: the 64-dim signed
+    hashing-trick vectors are integers, so both engines derive
+    byte-identical embeddings before the (rounded) cosine ranking.
+    Same broadcast-query/window shape as ss_topk_bruteforce; zero-norm
+    vectors (a degenerate all-cancelling token bag) are excluded on both
+    sides before ranking."""
+    from .text_analysis import doc_vectors
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    vecs = doc_vectors(d).select(
+        "doc_id", F.col("v").cast("array<double>").alias("v")
+    )
+    norm2 = F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)
+    vecs = vecs.filter(norm2 > 0)
+    q = vecs.filter(F.pmod("doc_id", F.lit(DOC_QUERY_MOD)) == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = F.broadcast(q).join(vecs, F.col("doc_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        _cos(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def topk_docs_sql() -> str:
+    from .text_analysis import doc_vectors_sql
+
+    return f"""
+WITH dv AS ({doc_vectors_sql()}),
+vecs AS (
+  SELECT doc_id, list_transform(v, x -> CAST(x AS DOUBLE)) AS v FROM dv
+  WHERE list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * x)) > 0
+),
+q AS (SELECT doc_id AS query_id, v AS qv FROM vecs WHERE doc_id % {DOC_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, w.doc_id AS neighbor_id,
+         {_COS_SQL.format(a='q.qv', b='w.v')} AS cosine
+  FROM q JOIN vecs w ON w.doc_id != q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""

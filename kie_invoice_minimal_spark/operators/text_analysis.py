@@ -715,3 +715,75 @@ JOIN rep r USING (doc_id)
 JOIN samp s USING (doc_id)
 WHERE NOT r.is_repetitive
 """
+
+
+# --- feature-hashed document vectors ------------------------------------------------
+
+DV_DIM = 64
+
+
+def doc_vectors(docs: DataFrame) -> DataFrame:
+    """(doc_id, v): DV_DIM-dim signed feature-hashing ("hashing trick",
+    Weinberger et al. 2009) of the token bag — the model-free document
+    embedding that bridges the text operators to the similarity stack
+    (no external encoder exists in this container, and none is needed for
+    the plumbing: bucket = md5(token) % DIM, sign = parity of the next
+    hash bit, v[i] = Σ signs).  INTEGER counts end to end, so vectors are
+    byte-identical across engines.
+
+    Shape: explode → groupBy(doc_id, bucket) with map-side combine →
+    per-doc map rebuild with zero-fill — one shuffle keyed on
+    (doc_id, bucket), no per-row Python."""
+    toks = F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    t = docs.select("doc_id", toks)
+    h_sql = "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+    cell = t.select(
+        "doc_id",
+        F.expr(f"CAST(pmod({h_sql}, {DV_DIM}) AS INT)").alias("bucket"),
+        F.expr(
+            f"CASE WHEN pmod({h_sql} DIV {DV_DIM}, 2) = 0 THEN 1 ELSE -1 END"
+        ).alias("sign"),
+    )
+    sums = cell.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("c")
+    )
+    filled = sums.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("bucket", "c")))
+        ).alias("m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(DV_DIM - 1))
+    return filled.select(
+        "doc_id",
+        F.transform(idx, lambda i: F.coalesce(F.element_at("m", i), F.lit(0))).alias("v"),
+    )
+
+
+def ta_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_vectors(_docs(spark, sf_dir))
+
+
+def doc_vectors_sql(table: str = "documents") -> str:
+    h = MDHASH_SQL("tok")
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM {table}
+),
+cell AS (
+  SELECT doc_id, CAST({h} % {DV_DIM} AS INTEGER) AS bucket,
+         CASE WHEN ({h} // {DV_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM t
+),
+sums AS (
+  SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS c
+  FROM cell GROUP BY doc_id, bucket
+),
+grid AS (
+  SELECT d.doc_id, g.bucket
+  FROM (SELECT DISTINCT doc_id FROM sums) d
+  CROSS JOIN (SELECT unnest(range(0, {DV_DIM})) AS bucket) g
+)
+SELECT g.doc_id, list(COALESCE(s.c, 0) ORDER BY g.bucket) AS v
+FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.bucket = g.bucket
+GROUP BY g.doc_id
+"""

@@ -62,6 +62,7 @@ def test_certification_window_holds_round4_critical_entries():
         "el_pipeline_staged", "kg_entity_pagerank", "dd_incremental",
         "kg_triangle_counts", "ev_funnel_stages",
         "kg_khop_counts", "ev_retention_cohorts", "kg_canonical_pagerank",
+        "stats_linear_fit", "ta_doc_vectors", "ss_topk_docs",
         # stale tail: last driver-green row dated r01/r02 (incl.
         # ta_fingerprint, whose r3 separator change altered values)
         "dd_exact", "dd_simhash", "ss_topk_bruteforce", "ss_lsh_buckets",
