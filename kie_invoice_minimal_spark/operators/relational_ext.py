@@ -1566,15 +1566,19 @@ def stats_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (
         "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
     )
+    # try_divide: a single-point (or zero-time-spread) series has den = 0;
+    # ANSI Spark errors on x/0 even for doubles, DuckDB yields NULL — NULL
+    # (no trend defined) is the correct answer in both engines
     return mom.select(
         "event_type",
         "n",
         F.expr(
-            f"round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) / {LF_YQ}, 6)"
+            f"round(try_divide(CAST({num} AS DOUBLE), CAST({den} AS DOUBLE))"
+            f" / {LF_YQ}, 6)"
         ).alias("slope_per_sec"),
         F.expr(
-            f"round((CAST(sy AS DOUBLE) - CAST({num} AS DOUBLE)"
-            f" / CAST({den} AS DOUBLE) * sx) / n / {LF_YQ}, 6)"
+            f"round((CAST(sy AS DOUBLE) - try_divide(CAST({num} AS DOUBLE),"
+            f" CAST({den} AS DOUBLE)) * sx) / n / {LF_YQ}, 6)"
         ).alias("intercept"),
     )
 
