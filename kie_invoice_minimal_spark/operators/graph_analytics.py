@@ -349,3 +349,57 @@ def kg_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         m, emap.select("surface", "canonical_surface")
     ).withColumn("surface", F.coalesce("canonical_surface", "surface"))
     return pagerank(comention_edges(resolved.drop("canonical_surface")))
+
+
+# --- adjacency-list export (graph materialize, consumer-facing shape) ---------------
+
+def kg_export_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency-list export of the co-mention graph: one row per entity
+    with its neighbors as a deterministic ' '-joined "dst:w" list (sorted
+    by weight desc then name) — the compact consumer-facing shape a graph
+    service or GNN sampler loads, vs. the edge-table shape analytics use.
+    One groupBy on src; the in-group sort is array_sort of collected
+    structs (bounded by the entity's degree), not a global sort.
+    Reference analog: per-document grouped output shaping,
+    kie_utils.py:314-340."""
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    e = comention_edges(m)
+    return (
+        e.groupBy(F.col("src").alias("surface"))
+        .agg(
+            F.count("*").cast("long").alias("n_neighbors"),
+            F.sum("w").cast("long").alias("total_w"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("w")).alias("nw"), "dst"))
+                    ),
+                    lambda s: F.concat_ws(":", s["dst"], (-s["nw"]).cast("string")),
+                ),
+                " ",
+            ).alias("neighbors"),
+        )
+    )
+
+
+def export_neighbors_sql(mentions_sql: str) -> str:
+    types = ", ".join(f"'{t}'" for t in PR_TYPES)
+    return f"""
+WITH m AS ({mentions_sql}),
+cs AS (
+  SELECT DISTINCT conv_id, surface FROM m WHERE mention_type IN ({types})
+),
+e AS (
+  SELECT a.surface AS src, b.surface AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM cs a JOIN cs b ON a.conv_id = b.conv_id AND a.surface <> b.surface
+  GROUP BY a.surface, b.surface
+)
+SELECT src AS surface, CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(w) AS BIGINT) AS total_w,
+       string_agg(dst || ':' || CAST(w AS VARCHAR), ' ' ORDER BY -w, dst)
+         AS neighbors
+FROM e GROUP BY src
+"""
