@@ -96,15 +96,39 @@ def _el_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples) are materialized to the noop sink here so this entry's bench
     timing is the honest COMBINED cost of everything the three cold queries
     produce; the returned DataFrame is the canonical-triple output, whose
-    oracle twin is kg_triples_canonical's — certifying staged == cold."""
-    import tempfile
+    oracle twin is kg_triples_canonical's — certifying staged == cold.
 
-    outs = staged_el_outputs(
-        spark, sf_dir, tempfile.mkdtemp(prefix="el_staged_")
-    )
+    Snapshot root: a DETERMINISTIC per-sf directory, wiped at invocation
+    start — the r4 version mkdtemp'd a fresh root per call and never
+    removed it, so every gate/bench run leaked mention+entity-map parquet
+    into /tmp (r4 ADVICE item 3).  The returned DataFrame is lazy over the
+    snapshots, so the root cannot be deleted here; bounding the footprint
+    to ONE live copy per sf (overwritten next call) is the fix that keeps
+    the query lazily consumable."""
+    root = _staged_root(sf_dir)
+    outs = staged_el_outputs(spark, sf_dir, root)
     for k in ("el_entity_map", "el_alias_triples"):
         outs[k].write.format("noop").mode("overwrite").save()
     return outs["kg_triples_canonical"]
+
+
+def _staged_root(sf_dir: str, kind: str = "el") -> str:
+    """Deterministic snapshot root under /tmp, wiped before reuse."""
+    import shutil
+    import tempfile
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    root = f"{tempfile.gettempdir()}/kie_staged_{kind}_{safe}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def _kg_canonical_pagerank_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical PageRank from the staged EL snapshots (r4 verdict item 5)
+    — shares kg_canonical_pagerank's oracle twin, certifying staged ==
+    cold.  Own deterministic snapshot root (kind='pr'), wiped per
+    invocation, so the timing is self-contained and nothing leaks."""
+    return GA.kg_canonical_pagerank_staged(spark, sf_dir, _staged_root(sf_dir, "pr"))
 
 
 def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,25 +142,24 @@ def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot holds
     exactly the first 50 entries in dict-iteration order (observed in
-    r01-r03).  Round-4 layout (92 entries total): positions 1-4 the
-    flagship kg_* four (entry() parity); 5-33 the 29 entries whose last
-    driver-green row dates from r01/r02 — the whole stale tail rotates
-    through in one round (r3 verdict item 1), INCLUDING ta_fingerprint,
-    whose r3 shingle-separator change ('' -> '\\x01') DID change
-    shingle_fp values (the r3 docstring's "fixture-value-neutral" claim
-    was wrong — r3 ADVICE item 1); 34-50 the operators changed in round 4
-    (approx_stats' KMV rewrite, ta_mixture_sample's DIV fix and its
-    downstream ta_curate_corpus_v2, the new el_pipeline_staged /
-    kg_entity_pagerank / kg_triangle_counts / kg_khop_counts /
-    kg_canonical_pagerank / dd_incremental / ev_funnel_stages /
-    ev_retention_cohorts / stats_linear_fit / ta_doc_vectors /
-    ss_topk_docs / kg_export_neighbors / ta_ngram_lm_score) plus
-    r03-certified entries most coupled to changed code.  The 43 entries
-    past position 50 all carry
-    r03 driver-green rows and stay guarded by
-    scripts/check_correctness.py (the local mimic of the gate).  When
-    adding a query that needs certification, insert it INSIDE the first
-    50 and rotate an r03/r04-certified, unchanged entry past 50
+    r01-r04).  Round-5 layout (93 entries total): positions 1-4 the
+    flagship kg_* four (entry() parity); 5-10 the operators changed or
+    added in round 5 (ta_doc_vectors' scalar-output reshape — the r4
+    driver-gate FAIL fix; approx_stats' left-joined medians;
+    ta_ngram_lm_score's DECIMAL(38,0) surprisal sums; kg_khop_counts'
+    implemented degree cap; el_pipeline_staged's deterministic snapshot
+    root; the new kg_canonical_pagerank_staged / kg_khop_kmv /
+    kg_common_neighbors); 13-50 thirty-eight of the 42 entries whose
+    last driver-green row dates from r03 (r4 verdict item 3's rotation,
+    widened to the whole window budget); the remaining four r03-stale
+    entries (anti_join_no_orders, outer_join_order_counts,
+    ta_mixture_weights, g6_stratified_split) rotate in round 6.  Everything past position 50 carries an r03/r04
+    driver-green row, is UNCHANGED this round, and stays guarded by
+    scripts/check_correctness.py (the local mimic of the gate, which
+    since r5 also rejects non-scalar output columns — the divergence
+    that let the r4 FAIL ship).  When adding a query that needs
+    certification, insert it INSIDE the first 50 and rotate an
+    r03/r04-certified, unchanged entry past 50
     (tests/test_doc_counts.py pins the window mechanically).
 
     Contract note — el_levenshtein_pairs is BANDED-APPROXIMATE candidate
@@ -147,6 +170,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_levenshtein_recall.py).  Its DuckDB twin applies the SAME
     banding, so the parity gate checks the candidate set, not exhaustive
     recall.
+
+    Contract note — ss_topk_bruteforce and ss_topk_docs are EXACTNESS
+    BASELINES, not scale paths: both score every (query, candidate) pair
+    (broadcast query set × full scan), which is the O(Q·N) ground truth
+    the ANN entries' recall is measured against.  At corpus scale use the
+    ANN entries (ss_lsh_multitable_ann — OR-amplified tables, recall
+    0.52/1.00 pinned; ss_ivf_ann) and keep the brute-force pair for
+    recall audits over sampled queries.
     """
     return {
         # 1-4: flagship KG pipeline (SURVEY.md §3; D1-D7 + R1-R4 + O1)
@@ -154,55 +185,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_native": _kg_triples_native,
         "kg_mentions": _kg_mentions,
         "kg_mentions_merged": _kg_mentions_merged,
-        # 5-33: certification refresh — last driver-green row r01/r02
-        "dd_exact": DD.dd_exact,
-        "dd_simhash": DD.dd_simhash,
-        "ss_topk_bruteforce": SS.ss_topk_bruteforce,
-        "ss_lsh_buckets": SS.ss_lsh_buckets,
-        "ss_lsh_ann": SS.ss_lsh_ann,
-        "ta_curate_corpus": TA.ta_curate_corpus,
-        "ta_vocab_topk": TA.ta_vocab_topk,
-        "mm_decode_metadata": MM.mm_decode_metadata,
-        "g5_ordered_concat": R.g5_ordered_concat,
-        "e3_minmax_normalize": R.e3_minmax_normalize,
-        "a5_group_standardize": R.a5_group_standardize,
-        "a6_readout": R.a6_readout,
-        "o5_label_rollup": R.o5_label_rollup,
-        "a8_threshold_classify": R.a8_threshold_classify,
-        "o4_error_analysis": R.o4_error_analysis,
-        "ta_token_stats": TA.ta_token_stats,
-        "ta_quality_score": TA.ta_quality_score,
-        "ta_lang_id": TA.ta_lang_id,
-        "ta_fingerprint": TA.ta_fingerprint,
-        "mm_frame_sample": MM.mm_frame_sample,
-        "r3_text_encode": RX.r3_text_encode,
-        "e4_graph_norm": RX.e4_graph_norm,
-        "a10_accuracy": RX.a10_accuracy,
-        "o3_confusion_matrix": RX.o3_confusion_matrix,
-        "o2_mention_output": RX.o2_mention_output,
-        "p8_trim_conversations": RX.p8_trim_conversations,
-        "rollup_doc_stats": RX.rollup_doc_stats,
-        "s2_json_props": RX.s2_json_props,
-        "s3_mapping_join": RX.s3_mapping_join,
-        # 34-50: round-4 changes + r03-certified entries coupled to them
-        "approx_stats": RX.approx_stats,  # r4: KMV/bottom-k, now oracle-paired
-        "ta_mixture_sample": TA.ta_mixture_sample,  # r4: DIV parity fix
-        "ta_curate_corpus_v2": TA.ta_curate_corpus_v2,  # composes mixture_sample
-        "ta_doc_vectors": TA.ta_doc_vectors,  # new r4
-        "ss_topk_docs": SS.ss_topk_docs,  # new r4 (text -> embedding -> topk)
-        "el_entity_map": _el_entity_map,
-        "el_pipeline_staged": _el_pipeline_staged,  # new r4 (verdict item 4)
-        "ev_retention_cohorts": RX.ev_retention_cohorts,  # new r4
-        "kg_khop_counts": GA.kg_khop_counts,  # new r4
-        "kg_canonical_pagerank": GA.kg_canonical_pagerank,  # new r4
-        "stats_linear_fit": RX.stats_linear_fit,  # new r4
-        "kg_export_neighbors": GA.kg_export_neighbors,  # new r4
-        "ta_ngram_lm_score": TA.ta_ngram_lm_score,  # new r4
-        "kg_entity_pagerank": GA.kg_entity_pagerank,  # new r4
-        "dd_incremental": DD.dd_incremental,  # new r4
-        "kg_triangle_counts": GA.kg_triangle_counts,  # new r4
-        "ev_funnel_stages": RX.ev_funnel_stages,  # new r4
-        # 51+: r03 driver-green, unchanged in r4, guarded by the local gate
+        # 5-12: changed or new in round 5 (need fresh certification)
+        "ta_doc_vectors": TA.ta_doc_vectors,  # r5: scalar v_str (r4 FAIL fix)
+        "approx_stats": RX.approx_stats,  # r5: LEFT-joined medians (ADVICE 1)
+        "ta_ngram_lm_score": TA.ta_ngram_lm_score,  # r5: DECIMAL sums (ADVICE 2)
+        "kg_khop_counts": GA.kg_khop_counts,  # r5: degree cap implemented
+        "el_pipeline_staged": _el_pipeline_staged,  # r5: deterministic root (ADVICE 3)
+        "kg_canonical_pagerank_staged": _kg_canonical_pagerank_staged,  # new r5
+        "kg_khop_kmv": GA.kg_khop_kmv,  # new r5 (mergeable 2-hop sketch)
+        "kg_common_neighbors": GA.kg_common_neighbors,  # new r5 (link pred)
+        # 13-50: certification refresh — last driver-green row r03
         "dd_band_clusters": DD.dd_band_clusters,
         "kg_triples_canonical": _kg_triples_canonical,
         "el_alias_triples": _el_alias_triples,
@@ -233,18 +225,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_cust": RX.topk_orders_per_cust,
         "p4_threshold_fallback": RX.p4_threshold_fallback,
         "interval_overlap_join": RX.interval_overlap_join,
-        "anti_join_no_orders": RX.anti_join_no_orders,
-        "outer_join_order_counts": RX.outer_join_order_counts,
         "ta_repetition_filter": TA.ta_repetition_filter,
         "ta_redact_spans": TA.ta_redact_spans,
-        "ta_mixture_weights": TA.ta_mixture_weights,
         "g3_nearest_neighbor": R.g3_nearest_neighbor,
-        "g6_stratified_split": R.g6_stratified_split,
         "dd_minhash_signatures": DD.dd_minhash_signatures,
         "dd_minhash_lsh_pairs": DD.dd_minhash_lsh_pairs,
         "dd_ngram_jaccard": DD.dd_ngram_jaccard,
         "dd_embedding_cosine": DD.dd_embedding_cosine,
         "dd_dup_clusters": DD.dd_dup_clusters,
+        # 51+: r03/r04 driver-green, unchanged in r5, guarded by the local
+        # gate; anti_join_no_orders, outer_join_order_counts,
+        # ta_mixture_weights and g6_stratified_split are the four
+        # r03-stale entries deferred to the round-6 rotation (displaced by
+        # the two new r5 operators)
+        "anti_join_no_orders": RX.anti_join_no_orders,
+        "outer_join_order_counts": RX.outer_join_order_counts,
+        "ta_mixture_weights": TA.ta_mixture_weights,
+        "g6_stratified_split": R.g6_stratified_split,
+        "dd_exact": DD.dd_exact,
+        "dd_simhash": DD.dd_simhash,
+        "ss_topk_bruteforce": SS.ss_topk_bruteforce,
+        "ss_lsh_buckets": SS.ss_lsh_buckets,
+        "ss_lsh_ann": SS.ss_lsh_ann,
+        "ta_curate_corpus": TA.ta_curate_corpus,
+        "ta_vocab_topk": TA.ta_vocab_topk,
+        "mm_decode_metadata": MM.mm_decode_metadata,
+        "g5_ordered_concat": R.g5_ordered_concat,
+        "e3_minmax_normalize": R.e3_minmax_normalize,
+        "a5_group_standardize": R.a5_group_standardize,
+        "a6_readout": R.a6_readout,
+        "o5_label_rollup": R.o5_label_rollup,
+        "a8_threshold_classify": R.a8_threshold_classify,
+        "o4_error_analysis": R.o4_error_analysis,
+        "ta_token_stats": TA.ta_token_stats,
+        "ta_quality_score": TA.ta_quality_score,
+        "ta_lang_id": TA.ta_lang_id,
+        "ta_fingerprint": TA.ta_fingerprint,
+        "mm_frame_sample": MM.mm_frame_sample,
+        "r3_text_encode": RX.r3_text_encode,
+        "e4_graph_norm": RX.e4_graph_norm,
+        "a10_accuracy": RX.a10_accuracy,
+        "o3_confusion_matrix": RX.o3_confusion_matrix,
+        "o2_mention_output": RX.o2_mention_output,
+        "p8_trim_conversations": RX.p8_trim_conversations,
+        "rollup_doc_stats": RX.rollup_doc_stats,
+        "s2_json_props": RX.s2_json_props,
+        "s3_mapping_join": RX.s3_mapping_join,
+        "ta_mixture_sample": TA.ta_mixture_sample,
+        "ta_curate_corpus_v2": TA.ta_curate_corpus_v2,
+        "ss_topk_docs": SS.ss_topk_docs,
+        "el_entity_map": _el_entity_map,
+        "ev_retention_cohorts": RX.ev_retention_cohorts,
+        "kg_canonical_pagerank": GA.kg_canonical_pagerank,
+        "stats_linear_fit": RX.stats_linear_fit,
+        "kg_export_neighbors": GA.kg_export_neighbors,
+        "kg_entity_pagerank": GA.kg_entity_pagerank,
+        "dd_incremental": DD.dd_incremental,
+        "kg_triangle_counts": GA.kg_triangle_counts,
+        "ev_funnel_stages": RX.ev_funnel_stages,
     }
 
 
@@ -273,14 +311,24 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": GA.pagerank_sql(duckdb_oracle.mentions_sql()),
         "kg_triangle_counts": GA.triangle_sql(duckdb_oracle.mentions_sql()),
         "kg_khop_counts": GA.khop_sql(duckdb_oracle.mentions_sql()),
+        "kg_khop_kmv": GA.khop_kmv_sql(duckdb_oracle.mentions_sql()),
+        "kg_common_neighbors": GA.common_neighbors_sql(
+            duckdb_oracle.mentions_sql()
+        ),
         "kg_canonical_pagerank": GA.pagerank_sql(
+            duckdb_oracle.canonical_mentions_sql()
+        ),
+        # staged == cold: same canonical PageRank, derived via snapshots
+        "kg_canonical_pagerank_staged": GA.pagerank_sql(
             duckdb_oracle.canonical_mentions_sql()
         ),
         "dd_incremental": DD.DD_INCREMENTAL_SQL,
         "ev_funnel_stages": RX.EV_FUNNEL_SQL,
         "ev_retention_cohorts": RX.EV_RETENTION_SQL,
         "stats_linear_fit": RX.STATS_LINFIT_SQL,
-        "ta_doc_vectors": TA.doc_vectors_sql(),
+        # r5: scalar twin (v_str) — the r4 array<bigint> output was the one
+        # driver-gate FAIL (pandas canonicalizer can't factorize list cells)
+        "ta_doc_vectors": TA.doc_vectors_str_sql(),
         "ss_topk_docs": SS.topk_docs_sql(),
         "kg_export_neighbors": GA.export_neighbors_sql(
             duckdb_oracle.mentions_sql()

@@ -27,6 +27,7 @@ from kie_invoice_minimal_spark.session import get_spark  # noqa: E402
 from kie_invoice_minimal_spark.sources.transcripts import synth_transcripts  # noqa: E402
 
 SF_TURNS = {"0.001": 6_000, "0.01": 60_000, "0.1": 600_000}
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def _sf_of(sf_dir: str) -> str:
@@ -61,7 +62,7 @@ def main() -> None:
         _materialize(extract_triples_df(synth_transcripts(spark, 20_000), engine=eng))
     for eng in ("arrow", "native"):
         walls = []
-        for _ in range(2):
+        for _ in range(BENCH_REPEATS):
             t0 = time.time()
             _materialize(extract_triples_df(transcripts, engine=eng))
             walls.append(time.time() - t0)
@@ -69,13 +70,16 @@ def main() -> None:
     turns_per_sec = round(n_actual / timings["kg_pipeline_arrow"], 1)
     transcripts.unpersist()
 
-    # Operator library at sf_dir — min-of-2 per query (the repo's benchmark
-    # convention, see BENCH_SCALING.md): the shared virtualized host shows
-    # ±30% one-off stragglers, and min-of-2 measures the plan, not the
-    # neighbor's noise.
+    # Operator library at sf_dir — min-of-k per query with k RECORDED in
+    # the output (r4 verdict item 6: the +7.1% round-over-round "regression"
+    # was a slow-window artifact of single-draw timings on a host with ±15%
+    # drift; min-of-k measures the plan, not the neighbor's noise).  Each
+    # repeat builds a FRESH DataFrame via fn(), so repeats get new shuffle
+    # IDs and cannot reuse the previous repeat's map-stage shuffle files
+    # (the r4 methodology correction applies to same-DataFrame repeats).
     for name, fn in entrymod.queries().items():
         walls = []
-        for _ in range(2):
+        for _ in range(BENCH_REPEATS):
             t0 = time.time()
             _materialize(fn(spark, sf_dir))
             walls.append(time.time() - t0)
@@ -95,6 +99,7 @@ def main() -> None:
         "sf": sf,
         "n_turns": n_actual,
         "turns_per_sec": turns_per_sec,
+        "repeats": BENCH_REPEATS,  # per-query timings are min-of-k, k here
     }
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)
@@ -114,6 +119,7 @@ def main() -> None:
                     **slowest,
                 },
                 "n_queries": len(timings),
+                "repeats": BENCH_REPEATS,
                 "queries_file": "BENCH_QUERIES.json",
             }
         )

@@ -868,7 +868,11 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n_exact = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
-    return users.join(meds, "event_type").join(n_exact, "event_type")
+    # meds joins LEFT: a group whose `value` column is entirely NULL has no
+    # median sample, and an inner join would silently drop the whole group
+    # from the output (r4 ADVICE item 1) — it keeps its row with a NULL
+    # approx_p50 instead, matching the pre-KMV behavior.
+    return users.join(meds, "event_type", "left").join(n_exact, "event_type")
 
 
 def approx_stats_sql() -> str:
@@ -935,7 +939,7 @@ n_exact AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type
 )
 SELECT u.event_type, u.approx_users, m.approx_p50, x.n
-FROM users u JOIN meds m USING (event_type) JOIN n_exact x USING (event_type)
+FROM users u LEFT JOIN meds m USING (event_type) JOIN n_exact x USING (event_type)
 """
 
 

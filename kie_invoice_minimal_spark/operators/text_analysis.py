@@ -760,7 +760,21 @@ def doc_vectors(docs: DataFrame) -> DataFrame:
 
 
 def ta_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_vectors(_docs(spark, sf_dir))
+    """Registry entry for doc_vectors — SCALAR output contract.
+
+    The r4 version returned the vector as ``v array<bigint>`` and became
+    the round's one driver-gate FAIL: the driver's pandas canonicalizer
+    factorizes every output column and dies on list cells
+    (``TypeError: unhashable type: 'list'``).  Registry queries therefore
+    emit only scalar columns (mechanically enforced by
+    tests/test_plan_properties.py::test_no_row_at_a_time_python_anywhere
+    and scripts/check_correctness.py); the vector is serialized as the
+    deterministic space-joined string ``v_str`` — same encoding as
+    kg_export_neighbors' ``neighbors`` column.  Consumers that need the
+    real array (ss_topk_docs) call the doc_vectors() helper directly."""
+    return doc_vectors(_docs(spark, sf_dir)).select(
+        "doc_id", F.array_join(F.col("v").cast("array<string>"), " ").alias("v_str")
+    )
 
 
 def doc_vectors_sql(table: str = "documents") -> str:
@@ -789,6 +803,15 @@ GROUP BY g.doc_id
 """
 
 
+def doc_vectors_str_sql(table: str = "documents") -> str:
+    """Scalar twin of ta_doc_vectors: same vector, space-joined string."""
+    return f"""
+SELECT doc_id,
+       array_to_string(list_transform(v, x -> CAST(x AS VARCHAR)), ' ') AS v_str
+FROM ({doc_vectors_sql(table)})
+"""
+
+
 # --- bigram LM surprisal (perplexity-proxy quality signal) --------------------------
 
 LM_Q = 1_000_000  # surprisal quantum
@@ -804,9 +827,13 @@ def ta_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the score is the INTEGER SURPRISAL proxy — per bigram,
     floor((c(w1)+V) * 1e6 / (c(w1,w2)+1)), i.e. the quantized inverse of
     the add-one-smoothed conditional probability; per doc, the floor-mean
-    over its bigrams.  Monotone in perplexity, exact BIGINT/HUGEINT
-    arithmetic end to end (per-term bound corpus_tokens*1e6 overflows
-    int64 at the 100 TB point, so the sums run DECIMAL(38,0)/HUGEINT).
+    over its bigrams.  Monotone in perplexity, exact integer arithmetic
+    end to end; the per-term bound corpus_tokens*1e6 overflows int64 at
+    the 100 TB point, so the per-term surprise is cast to DECIMAL(38,0)
+    BEFORE the per-doc F.sum (Spark's integral DIV returns BIGINT, and a
+    LongType sum would wrap silently in non-ANSI mode while the DuckDB
+    HUGEINT twin errors loudly — r4 ADVICE item 2; same discipline as
+    stats_linear_fit's moment sums).
 
     Shape: one explode to (doc, bigram) — 2x the token stream, the cost
     any n-gram LM trainer pays; two map-side-combined count tables
@@ -834,7 +861,8 @@ def ta_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                f"(CAST(c_w1 + v AS DECIMAL(38,0)) * {LM_Q}) DIV (c_bg + 1)"
+                f"CAST((CAST(c_w1 + v AS DECIMAL(38,0)) * {LM_Q})"
+                " DIV (c_bg + 1) AS DECIMAL(38,0))"
             ).alias("surprise"),
         )
     )

@@ -98,28 +98,7 @@ def staged_el_outputs(
 
     Reference analog: staged model state reuse, scripts/train_kie.py:256-308.
     """
-    from ..operators.mention_detect import detect_mentions_arrow, with_mention_id
-    from ..sources.checkpoints import CheckpointedPipeline, Stage
-    from ..sources.transcripts import transcripts_from_documents
-
-    def s_transcripts(sp, _up):
-        return transcripts_from_documents(sp, sf_dir)
-
-    def s_mentions(sp, up):
-        return with_mention_id(detect_mentions_arrow(up["transcripts"]))
-
-    def s_entity_map(sp, up):
-        return link_entities(up["mentions"])
-
-    done = CheckpointedPipeline(
-        spark,
-        root,
-        [
-            Stage("transcripts", s_transcripts),
-            Stage("mentions", s_mentions),
-            Stage("entity_map", s_entity_map),
-        ],
-    ).run()
+    done = staged_snapshots(spark, sf_dir, root)
     emap, mentions = done["entity_map"], done["mentions"]
     return {
         "el_entity_map": emap.select("surface", "canonical_surface"),
@@ -128,6 +107,37 @@ def staged_el_outputs(
             mentions.drop("mention_id"), emap
         ),
     }
+
+
+def staged_snapshots(
+    spark, sf_dir: str, root: str, snapshot_transcripts: bool = True
+) -> dict[str, DataFrame]:
+    """mentions + entity_map (and optionally transcripts) snapshots from
+    ONE CheckpointedPipeline run — the shared materialization every staged
+    consumer (el_pipeline_staged, kg_canonical_pagerank_staged) derives
+    its outputs from.  ``snapshot_transcripts=False`` skips persisting the
+    turn-level table (the largest snapshot by far) for consumers whose
+    resume point is the mention stream — the mentions snapshot alone
+    replays everything downstream."""
+    from ..operators.mention_detect import detect_mentions_arrow, with_mention_id
+    from ..sources.checkpoints import CheckpointedPipeline, Stage
+    from ..sources.transcripts import transcripts_from_documents
+
+    def s_transcripts(sp, _up):
+        return transcripts_from_documents(sp, sf_dir)
+
+    def s_mentions(sp, up):
+        t = up.get("transcripts")
+        if t is None:
+            t = transcripts_from_documents(sp, sf_dir)
+        return with_mention_id(detect_mentions_arrow(t))
+
+    def s_entity_map(sp, up):
+        return link_entities(up["mentions"])
+
+    stages = [Stage("transcripts", s_transcripts)] if snapshot_transcripts else []
+    stages += [Stage("mentions", s_mentions), Stage("entity_map", s_entity_map)]
+    return CheckpointedPipeline(spark, root, stages).run()
 
 
 def entity_resolved_mentions(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:

@@ -58,6 +58,46 @@ def test_kmv_exact_branch_small_groups(spark):
         assert au == exact[et], (et, au, exact[et])
 
 
+def test_all_null_value_group_keeps_its_row(spark, tmp_path):
+    """r4 ADVICE item 1: an event_type whose `value` column is entirely
+    NULL has no median sample; the meds join must be LEFT so the group
+    keeps its row (NULL approx_p50) instead of silently vanishing — the
+    pre-KMV behavior, which the parity gate alone could not see because
+    the DuckDB twin shared the inner join."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sf = str(tmp_path)
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", i % 3, "with_vals", float(i), "{}")
+        for i in range(10)
+    ] + [
+        (100 + i, f"2024-01-01 01:{i:02d}:00", i % 2, "all_null", None, "{}")
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    got = {r.event_type: r for r in approx_stats(spark, sf).collect()}
+    assert set(got) == {"with_vals", "all_null"}
+    assert got["all_null"].approx_p50 is None
+    assert got["all_null"].approx_users == 2 and got["all_null"].n == 6
+    assert got["with_vals"].approx_p50 is not None
+    # the DuckDB twin agrees on the same fixture (left join on both sides)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    duck = {r[0]: r for r in con.execute(em.oracle_sql()["approx_stats"]).fetchall()}
+    assert set(duck) == {"with_vals", "all_null"}
+    assert duck["all_null"][2] is None
+
+
 def test_sampled_median_rank_bound(spark):
     """The bottom-k (k=256) sampled median must land within exact ranks
     [0.35, 0.65] of each group's value distribution (sample-median rank

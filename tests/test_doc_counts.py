@@ -47,9 +47,9 @@ def test_oracle_registry_is_consistent():
     assert set(qs) - set(os_) == set()
 
 
-def test_certification_window_holds_round4_critical_entries():
+def test_certification_window_holds_round5_critical_entries():
     """The driver snapshots exactly the first 50 queries() entries, so
-    every round-4 value-changed operator and the 29 stale (r01/r02-last-
+    every round-5 changed/new operator and the 40 stale (r03-last-
     certified) entries being refreshed MUST sit inside positions 0-49
     (see the queries() docstring).  This pins the ordering mechanically so
     a refactor cannot silently push a needs-certification entry past the
@@ -57,25 +57,28 @@ def test_certification_window_holds_round4_critical_entries():
     names = list(entrymod.queries())
     first50 = set(names[:50])
     critical = {
-        # value-changed, new, or newly oracle-paired in round 4
-        "approx_stats", "ta_mixture_sample", "ta_curate_corpus_v2",
-        "el_pipeline_staged", "kg_entity_pagerank", "dd_incremental",
-        "kg_triangle_counts", "ev_funnel_stages",
-        "kg_khop_counts", "ev_retention_cohorts", "kg_canonical_pagerank",
-        "stats_linear_fit", "ta_doc_vectors", "ss_topk_docs",
-        "kg_export_neighbors", "ta_ngram_lm_score",
-        # stale tail: last driver-green row dated r01/r02 (incl.
-        # ta_fingerprint, whose r3 separator change altered values)
-        "dd_exact", "dd_simhash", "ss_topk_bruteforce", "ss_lsh_buckets",
-        "ss_lsh_ann", "ta_curate_corpus", "ta_vocab_topk",
-        "mm_decode_metadata", "g5_ordered_concat", "e3_minmax_normalize",
-        "a5_group_standardize", "a6_readout", "o5_label_rollup",
-        "a8_threshold_classify", "o4_error_analysis", "ta_token_stats",
-        "ta_quality_score", "ta_lang_id", "ta_fingerprint",
-        "mm_frame_sample", "r3_text_encode", "e4_graph_norm",
-        "a10_accuracy", "o3_confusion_matrix", "o2_mention_output",
-        "p8_trim_conversations", "rollup_doc_stats", "s2_json_props",
-        "s3_mapping_join",
+        # changed or new in round 5
+        "ta_doc_vectors", "approx_stats", "ta_ngram_lm_score",
+        "kg_khop_counts", "el_pipeline_staged",
+        "kg_canonical_pagerank_staged", "kg_khop_kmv",
+        "kg_common_neighbors",
+        # stale tail: last driver-green row dated r03 (38 of 42; the
+        # remaining four rotate in round 6)
+        "dd_band_clusters", "kg_triples_canonical", "el_alias_triples",
+        "el_levenshtein_pairs", "ss_ivf_ann", "kg_mentions_rescan",
+        "cc_event_pairs", "e2_band_self_join", "dd_lsh_verified_dups",
+        "ss_lsh_multitable_ann", "ta_pack_sequences", "dd_contamination",
+        "a2a3_message_pass", "g5_turn_rank", "g5_merge_conversations",
+        "g4_realign_semi_join", "setop_split_check",
+        "asof_click_after_view", "stats_percentiles", "w_ntile_lag",
+        "w_range_frame", "cube_doc_stats", "grouping_sets_doc_stats",
+        "tpch_q1_pricing", "o3_confusion_pivot", "unpivot_readout",
+        "sessionize_events", "topk_orders_per_cust",
+        "p4_threshold_fallback", "interval_overlap_join",
+        "ta_repetition_filter", "ta_redact_spans",
+        "g3_nearest_neighbor",
+        "dd_minhash_signatures", "dd_minhash_lsh_pairs",
+        "dd_ngram_jaccard", "dd_embedding_cosine", "dd_dup_clusters",
     }
     missing = critical - first50
     assert not missing, f"pushed past the 50-entry snapshot: {sorted(missing)}"

@@ -227,6 +227,222 @@ def test_khop_counts_vs_bruteforce(spark):
     assert any(v[1] > 0 for v in got.values())  # non-vacuous 2-hop
 
 
+def test_khop_cap_bounds_hub_expansion(spark):
+    """The r4 scale hazard, cured and stress-pinned: a 50k-spoke hub's
+    UNCAPPED 2-hop self-join would materialize 50k^2 = 2.5e9 wedge rows
+    through the hub; with capped_adjacency the intermediate is bounded by
+    |capped_edges| * KHOP_CAP and the query completes in seconds.  The
+    capped results follow the documented deterministic top-(w DESC, dst)
+    semantics."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        KHOP_CAP,
+        capped_adjacency,
+        khop_counts,
+    )
+
+    n = 50_000
+    spokes = [f"s{i:05d}" for i in range(1, n + 1)]
+    rows = [("hub", s, 1) for s in spokes] + [(s, "hub", 1) for s in spokes]
+    e = spark.createDataFrame(rows, "src string, dst string, w long")
+
+    ecap = capped_adjacency(e)
+    # hub adjacency truncated to exactly KHOP_CAP; spokes keep their 1 edge
+    # -> the wedge join input is n + CAP rows, not n^2
+    assert ecap.filter(F.col("src") == "hub").count() == KHOP_CAP
+    assert ecap.count() == n + KHOP_CAP
+    # deterministic selection: equal weights tie-break by dst ASC
+    kept = {
+        r.dst for r in ecap.filter(F.col("src") == "hub").collect()
+    }
+    assert kept == set(spokes[:KHOP_CAP])
+
+    got = {r.surface: (r.n_1hop, r.n_2hop) for r in khop_counts(e).collect()}
+    assert got["hub"] == (n, 0)  # spokes' capped lists all lead back to hub
+    # a spoke inside the hub's kept set sees the other CAP-1 kept spokes;
+    # one outside sees all CAP of them; n_1hop stays EXACT (uncapped)
+    assert got[spokes[0]] == (1, KHOP_CAP - 1)
+    assert got[spokes[-1]] == (1, KHOP_CAP)
+
+
+def test_khop_capped_semantics_match_python_model(spark):
+    """khop_counts(cap=2) equals a Python recompute of the documented
+    capped semantics on a graph whose degrees EXCEED the cap: both hops
+    walk each node's top-cap neighbors by (w DESC, dst ASC); the
+    distance-1 exclusion uses the FULL edge set."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import khop_counts
+
+    rows = [
+        # a's true adjacency: c (w=5), b (w=3), d (w=1) -> cap-2 keeps c, b
+        ("a", "c", 5), ("a", "b", 3), ("a", "d", 1),
+        ("b", "a", 3), ("b", "d", 2), ("b", "e", 2),  # tie 2/2 -> d, e kept
+        ("c", "a", 5), ("c", "e", 4),
+        ("d", "a", 1), ("d", "b", 2),
+        ("e", "b", 2), ("e", "c", 4),
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string, w long")
+    cap = 2
+    full, w_of = {}, {}
+    for s, d, w in rows:
+        full.setdefault(s, set()).add(d)
+        w_of[(s, d)] = w
+    capped = {
+        s: {
+            d
+            for d in sorted(nbrs, key=lambda d: (-w_of[(s, d)], d))[:cap]
+        }
+        for s, nbrs in full.items()
+    }
+    expect = {}
+    for u in full:
+        two = set()
+        for v in capped[u]:
+            two |= capped.get(v, set())
+        two -= full[u] | {u}
+        expect[u] = (len(full[u]), len(two))
+    got = {
+        r.surface: (r.n_1hop, r.n_2hop) for r in khop_counts(e, cap).collect()
+    }
+    assert got == expect
+    # non-vacuous: the cap actually dropped an edge somewhere
+    assert any(len(capped[s]) < len(full[s]) for s in full)
+
+
+def test_khop_kmv_accuracy_vs_exact(spark):
+    """The KMV 2-hop reach estimate: EXACT for balls below k, within the
+    sketch's deterministic error band above it (k=16 -> rel sigma ~27%;
+    the fixture draw is fixed, so the observed ratios are stable)."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        KHOP_KMV_K,
+        comention_edges,
+        kg_khop_kmv,
+    )
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        detect_mentions_arrow,
+    )
+    from kie_invoice_minimal_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = comention_edges(
+        detect_mentions_arrow(transcripts_from_documents(spark, sf))
+    ).collect()
+    adj = {}
+    for r in e:
+        adj.setdefault(r.src, set()).add(r.dst)
+    exact = {}
+    for u, nbrs in adj.items():
+        ball = {u} | nbrs
+        for v in nbrs:
+            ball |= adj.get(v, set())
+        exact[u] = len(ball)
+    got = {r.surface: (r.n_1hop, r.reach2_est) for r in kg_khop_kmv(spark, sf).collect()}
+    assert set(got) == set(exact)
+    estimator_used = 0
+    for u, (n1, est) in got.items():
+        assert n1 == len(adj[u])
+        if exact[u] < KHOP_KMV_K:
+            assert est == exact[u], (u, est, exact[u])
+        else:
+            estimator_used += 1
+            assert 0.45 * exact[u] <= est <= 2.2 * exact[u], (u, est, exact[u])
+    assert estimator_used > 0  # the estimator branch is actually exercised
+
+
+def test_khop_kmv_hub_linear(spark):
+    """A 50k-spoke hub costs O(edges*k) sketch rows, not deg^2 wedges: the
+    sketch completes fast and the hub's 2-ball estimate (true size n+1)
+    lands inside the KMV error band."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import khop_kmv
+
+    n = 50_000
+    spokes = [f"s{i:05d}" for i in range(1, n + 1)]
+    rows = [("hub", s) for s in spokes] + [(s, "hub") for s in spokes]
+    e = spark.createDataFrame(rows, "src string, dst string").withColumn(
+        "w", F.lit(1).cast("long")
+    )
+    got = {r.surface: (r.n_1hop, r.reach2_est) for r in khop_kmv(e).collect()}
+    assert got["hub"][0] == n
+    true_ball = n + 1
+    assert 0.45 * true_ball <= got["hub"][1] <= 2.2 * true_ball, got["hub"]
+    # every spoke's 2-ball is the whole star too ({s, hub} U N(hub))
+    s_est = got[spokes[0]][1]
+    assert 0.45 * true_ball <= s_est <= 2.2 * true_ball, s_est
+
+
+def test_common_neighbors_match_python_model(spark):
+    """Exact common-neighbor counts + quantized Jaccard below the cap,
+    against a brute-force Python recompute on the sf0.001 entity graph."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        CN_Q,
+        KHOP_CAP,
+        comention_edges,
+        kg_common_neighbors,
+    )
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        detect_mentions_arrow,
+    )
+    from kie_invoice_minimal_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = comention_edges(
+        detect_mentions_arrow(transcripts_from_documents(spark, sf))
+    ).collect()
+    adj = {}
+    for r in e:
+        adj.setdefault(r.src, set()).add(r.dst)
+    assert max(len(v) for v in adj.values()) <= KHOP_CAP  # cap not binding
+    expect = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            co = len(adj[a] & adj[b])
+            if co >= 2:
+                jq = co * CN_Q // (len(adj[a]) + len(adj[b]) - co)
+                expect[(a, b)] = (co, jq)
+    got = {
+        (r.surface_a, r.surface_b): (r.n_common, r.jaccard_q)
+        for r in kg_common_neighbors(spark, sf).collect()
+    }
+    assert got == expect
+    assert got  # non-vacuous
+
+
+def test_common_neighbors_cap_bounds_hub(spark):
+    """Above the cap the pair generation walks only each node's top-cap
+    neighbors: two 50k-spoke hubs sharing their spokes yield C(cap,2)
+    spoke-pairs (through each hub's kept top-cap list) plus the hub pair
+    (through the spokes, whose degree-2 lists are uncapped) — not the
+    2×C(50k,2) wedge explosion of the uncapped join."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        CN_Q,
+        common_neighbors,
+    )
+
+    n = 50_000
+    spokes = [f"s{i:05d}" for i in range(1, n + 1)]
+    rows = []
+    for h in ("hub1", "hub2"):
+        rows += [(h, s, 1) for s in spokes] + [(s, h, 1) for s in spokes]
+    e = spark.createDataFrame(rows, "src string, dst string, w long")
+    cap = 8
+    got = {
+        (r.surface_a, r.surface_b): (r.n_common, r.jaccard_q)
+        for r in common_neighbors(e, cap).collect()
+    }
+    kept = spokes[:cap]  # equal weights -> dst-ASC tie-break keeps these
+    expect_pairs = {(a, b) for i, a in enumerate(kept) for b in kept[i + 1 :]}
+    expect_pairs.add(("hub1", "hub2"))
+    assert set(got) == expect_pairs and len(got) == cap * (cap - 1) // 2 + 1
+    # hub pair: all n spokes shared (spoke lists are below the cap);
+    # jaccard = n/(n+n-n) = 1.0 exactly
+    assert got[("hub1", "hub2")] == (n, CN_Q)
+    # kept spoke pairs: both hubs shared, deg 2 each -> jaccard 1.0
+    assert got[(kept[0], kept[1])] == (2, CN_Q)
+
+
 def test_retention_cohort_invariants(spark):
     from pyspark.sql import functions as F
 

@@ -26,9 +26,31 @@ def _plan(df) -> str:
 
 
 def test_no_row_at_a_time_python_anywhere(spark):
+    """Two registry-wide invariants, checked in one pass over every
+    registered query's plan/schema:
+
+    - no BatchEvalPython (the north rule's "no per-row Python");
+    - no ArrayType/MapType/StructType OUTPUT column — the driver's pandas
+      canonicalizer factorizes every column and dies on complex cells
+      (``unhashable type: 'list'``), which made r4's ta_doc_vectors the
+      round's one driver-gate FAIL; serialize vectors/lists as
+      deterministic strings (kg_export_neighbors.neighbors,
+      ta_doc_vectors.v_str) or long-format rows instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     for name, fn in entrymod.queries().items():
-        plan = _plan(fn(spark, SF))
+        df = fn(spark, SF)
+        plan = _plan(df)
         assert "BatchEvalPython" not in plan, f"{name} fell off the Arrow path"
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not complex_cols, (
+            f"{name} returns non-scalar columns {complex_cols} — "
+            "driver-uncertifiable (see r4 ta_doc_vectors)"
+        )
 
 
 def test_flagship_native_single_exchange(spark):

@@ -26,14 +26,20 @@ def _mdhash(s: str) -> int:
 
 def test_doc_vectors_match_python_reference(spark):
     """The Spark vector equals a per-token Python recompute for every doc
-    (dims, buckets, signs)."""
+    (dims, buckets, signs).  Since r5 the registry entry serializes the
+    vector as the space-joined scalar ``v_str`` (the r4 array<bigint>
+    output was the round's one driver-gate FAIL); this parses it back,
+    pinning the serialization contract too."""
     docs = {
         r.doc_id: r.text
         for r in spark.read.parquet(f"{SF}/documents.parquet")
         .select("doc_id", "text")
         .collect()
     }
-    got = {r.doc_id: list(r.v) for r in ta_doc_vectors(spark, SF).collect()}
+    got = {
+        r.doc_id: [int(x) for x in r.v_str.split(" ")]
+        for r in ta_doc_vectors(spark, SF).collect()
+    }
     assert set(got) == set(docs)
     for doc_id in list(docs)[:25]:
         v = [0] * DV_DIM
