@@ -20,7 +20,8 @@ Implementation notes (the scale story):
 - each round ends in localCheckpoint() to truncate lineage (an iterative
   loop otherwise grows an unbounded plan tree);
 - convergence = edge-set fingerprint (count + xor-ish hash sum) unchanged;
-  fingerprints come from one tiny agg per round;
+  the fingerprint rides the round's checkpoint job as an Observation
+  (r5: one action per round, previously checkpoint + a separate agg);
 - the shrinking edge list is re-coalesced by AQE each round.
 """
 
@@ -73,12 +74,24 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return hang_nbrs.union(hang_self).filter(F.col("u") != F.col("v")).distinct()
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.xxhash64("u", "v") % F.lit(1_000_000_007)), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _fingerprint_obs() -> "Observation":
+    """Convergence fingerprint (edge count + order-free hash sum) attached
+    as an Observation so it rides the round's checkpoint job itself — one
+    job per round instead of checkpoint + separate fingerprint collect
+    (localCheckpoint fires the query-execution listener in pyspark 4.x,
+    so the observation resolves when the materialization finishes)."""
+    from pyspark.sql import Observation
+
+    return Observation()
+
+
+def _fp_cols() -> list[F.Column]:
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v") % F.lit(1_000_000_007)), F.lit(0)
+        ).alias("h"),
+    ]
 
 
 def connected_components(edges: DataFrame, stats: dict | None = None) -> DataFrame:
@@ -115,10 +128,14 @@ def connected_components(edges: DataFrame, stats: dict | None = None) -> DataFra
     rounds = 0
     for _ in range(MAX_ROUNDS):
         # one checkpoint per round: the intra-round lineage (one star op) is
-        # shallow; checkpointing after each star doubled materialization cost
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+        # shallow; checkpointing after each star doubled materialization
+        # cost.  The convergence fingerprint rides the SAME job as an
+        # Observation (r5): one action per round, not two.
+        obs = _fingerprint_obs()
+        cur = _small_star(_large_star(cur)).observe(obs, *_fp_cols()).localCheckpoint()
         rounds += 1
-        fp = _fingerprint(cur)
+        got = obs.get
+        fp = (int(got["n"]), int(got["h"]))
         if fp == prev_fp:
             break
         prev_fp = fp
