@@ -915,3 +915,196 @@ SELECT d.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        CAST(p.total // p.n_bigrams AS BIGINT) AS surprise_q
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# --- quantized tf-idf top terms -----------------------------------------------------
+
+TFIDF_TOP_K = 3
+TFIDF_Q = 1_000_000  # idf quantum
+
+
+def ta_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tfidf_q, rank): each document's top-3 terms by
+    quantized tf-idf — the keyword/topic signal a curation pipeline uses
+    for domain tagging and mixture assignment.
+
+    Cross-engine-exact by construction: the classic log-idf would hinge
+    on ln() ulp agreement (the same trap ta_ngram_lm_score documents), so
+    idf is the QUANTIZED INVERSE document frequency
+    ``(N * 1e6) DIV df`` and tfidf_q = tf * idf_q — monotone in
+    tf·(N/df), pure BIGINT, byte-identical in DuckDB.  Ties break
+    (tfidf_q DESC, term ASC) so the top-3 is fully deterministic.
+
+    Shape at 100 TB: one explode → per-(doc, term) counts with map-side
+    combine (one shuffle on (doc_id, term)); the df table is
+    vocabulary-sized (groupBy term, map-side combined) and joins on the
+    term key; N is a broadcast 1-row aggregate; the final top-3 window
+    partitions by doc_id — group size is the document's distinct-term
+    count, bounded by document length, so no hub risk.
+
+    Reference analog: per-field score ranking, kie_utils.py:300-323."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_t = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n_docs = d.select(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(f"tf * ((n_docs * {TFIDF_Q}) DIV df)").alias("tfidf_q"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_q"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf_q", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+TA_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df_t AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ((n.n_docs * {TFIDF_Q}) // df_t.df) AS tfidf_q
+  FROM tf JOIN df_t USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf_q, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_q DESC, term) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+# --- cross-document chunk dedup (exact substring-level duplication signal) ----------
+
+CHUNK_TOKENS = 8
+
+
+def ta_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks, dup_frac_ppm): per-document
+    CROSS-CORPUS duplicated-chunk statistics — the exact substring-level
+    dedup signal (CCNet/Gopher-style "remove shared paragraphs") at the
+    granularity this corpus supports: non-overlapping CHUNK_TOKENS-token
+    windows stand in for paragraphs (the fixture text has no sentence
+    separators; real deployments split on structural boundaries, the
+    plumbing is identical).
+
+    A chunk is DUPLICATED when the same token sequence appears in more
+    than one document (per-document chunk multiplicity does not count —
+    that is ta_repetition_filter's in-document signal).  dup_frac_ppm =
+    (n_dup_chunks * 1e6) DIV n_chunks, NULL for docs shorter than one
+    chunk — integer-exact, same division in DuckDB.
+
+    Shape at 100 TB: the chunk stream is |tokens| / CHUNK_TOKENS rows;
+    chunks travel as 60-bit md5 hashes, never text (the dd_exact
+    discipline); the frequency table groupBy(hash) is map-side combined;
+    the join back is hash-keyed.  Reference analog: duplicate-content
+    suppression in merge_boxes, kie_utils.py:195-214."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_full = F.floor(F.size(toks) / CHUNK_TOKENS).cast("int")
+    # sequence() DESCENDS when start > stop (the ngram_array bug class —
+    # see that guard's docstring): a doc shorter than one chunk must yield
+    # the EMPTY list, not sequence(0, -1) = [0, -1]
+    chunk_arr = F.when(
+        n_full >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = d.select("doc_id", F.explode(chunk_arr).alias("chunk")).select(
+        "doc_id", mdhash_spark(F.col("chunk")).alias("h")
+    )
+    doc_chunks = chunks.groupBy("doc_id", "h").agg(
+        F.count("*").cast("long").alias("mult")
+    )
+    cross = doc_chunks.select("doc_id", "h").groupBy("h").agg(
+        F.count("*").cast("long").alias("n_docs_with")
+    )
+    per_doc = (
+        doc_chunks.join(cross, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("mult").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs_with") > 1, F.col("mult")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_chunks, 0) = 0 THEN NULL"
+                " ELSE (n_dup_chunks * 1000000) DIV n_chunks END AS BIGINT)"
+            ).alias("dup_frac_ppm"),
+        )
+    )
+
+
+def chunk_dedup_sql(table: str = "documents") -> str:
+    h = MDHASH_SQL("chunk")
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM {table}
+),
+chunks AS (
+  SELECT doc_id, {h} AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, CAST(len(toks) // {CHUNK_TOKENS} AS BIGINT)),
+                  i -> array_to_string(list_slice(toks, i * {CHUNK_TOKENS} + 1,
+                                                  i * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' ')))
+             AS chunk
+    FROM t)
+),
+doc_chunks AS (
+  SELECT doc_id, h, CAST(count(*) AS BIGINT) AS mult
+  FROM chunks GROUP BY doc_id, h
+),
+cross_freq AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n_docs_with FROM doc_chunks GROUP BY h
+),
+per_doc AS (
+  SELECT dc.doc_id,
+         CAST(sum(dc.mult) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN cf.n_docs_with > 1 THEN dc.mult ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks
+  FROM doc_chunks dc JOIN cross_freq cf USING (h)
+  GROUP BY dc.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       CAST(CASE WHEN COALESCE(p.n_chunks, 0) = 0 THEN NULL
+            ELSE (p.n_dup_chunks * 1000000) // p.n_chunks END AS BIGINT)
+         AS dup_frac_ppm
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -61,9 +61,9 @@ def test_certification_window_holds_round5_critical_entries():
         "ta_doc_vectors", "approx_stats", "ta_ngram_lm_score",
         "kg_khop_counts", "el_pipeline_staged",
         "kg_canonical_pagerank_staged", "kg_khop_kmv",
-        "kg_common_neighbors",
-        # stale tail: last driver-green row dated r03 (38 of 42; the
-        # remaining four rotate in round 6)
+        "kg_common_neighbors", "ta_tfidf_topk", "ta_chunk_dedup",
+        # stale tail: last driver-green row dated r03 (36 of 42; the
+        # remaining six rotate in round 6)
         "dd_band_clusters", "kg_triples_canonical", "el_alias_triples",
         "el_levenshtein_pairs", "ss_ivf_ann", "kg_mentions_rescan",
         "cc_event_pairs", "e2_band_self_join", "dd_lsh_verified_dups",
@@ -74,7 +74,6 @@ def test_certification_window_holds_round5_critical_entries():
         "w_range_frame", "cube_doc_stats", "grouping_sets_doc_stats",
         "tpch_q1_pricing", "o3_confusion_pivot", "unpivot_readout",
         "sessionize_events", "topk_orders_per_cust",
-        "p4_threshold_fallback", "interval_overlap_join",
         "ta_repetition_filter", "ta_redact_spans",
         "g3_nearest_neighbor",
         "dd_minhash_signatures", "dd_minhash_lsh_pairs",
