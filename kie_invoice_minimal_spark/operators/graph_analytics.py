@@ -731,3 +731,155 @@ SELECT src AS surface, CAST(count(*) AS BIGINT) AS n_neighbors,
          AS neighbors
 FROM e GROUP BY src
 """
+
+
+# --- entity observation timelines (temporal provenance) -----------------------------
+
+def kg_entity_timeline(spark, sf_dir: str) -> DataFrame:
+    """(surface, pred, first_ts_us, last_ts_us, n_mentions, n_convs): each
+    entity's corpus-wide observation window — when it was first and last
+    seen, how often, across how many conversations.  The temporal
+    provenance a KG attaches to every node (staleness scoring, entity
+    drift monitors, "last confirmed" timestamps for downstream
+    consumers).
+
+    Timestamps are emitted as INTEGER microseconds (unix_micros on the
+    session-UTC timestamp / epoch_us in DuckDB) — the repo's timestamp
+    parity convention (fractional epoch seconds round differently across
+    engines).  Shape at 10^12 turns: the mentions→turn-ts join is an
+    equi-join on (conv_id, turn_idx) — both sides partition-compatible
+    with the extraction shuffle — and the rollup groupBy(surface, pred)
+    is map-side combined; the distinct-conversation count rides the same
+    aggregation.  Reference analog: per-field timing/provenance metadata,
+    backend_utils.py:30-40.
+    """
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    t = transcripts_from_documents(spark, sf_dir)
+    m = detect_mentions_arrow(t)
+    ts = t.select(
+        "conv_id", "turn_idx", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return (
+        m.select("conv_id", "turn_idx", "surface", "mention_type")
+        .join(ts, ["conv_id", "turn_idx"])
+        .groupBy(F.col("surface"), F.col("mention_type").alias("pred"))
+        .agg(
+            F.min("ts_us").cast("long").alias("first_ts_us"),
+            F.max("ts_us").cast("long").alias("last_ts_us"),
+            F.count("*").cast("long").alias("n_mentions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )
+
+
+def entity_timeline_sql(mentions_sql: str, transcripts_sql: str) -> str:
+    return f"""
+WITH m AS ({mentions_sql}),
+t AS ({transcripts_sql})
+SELECT m.surface, m.mention_type AS pred,
+       CAST(min(epoch_us(t.ts)) AS BIGINT) AS first_ts_us,
+       CAST(max(epoch_us(t.ts)) AS BIGINT) AS last_ts_us,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT m.conv_id) AS BIGINT) AS n_convs
+FROM m JOIN t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+GROUP BY m.surface, m.mention_type
+"""
+
+
+# --- predicate-level skew / quality monitor -----------------------------------------
+
+PS_Q = 1_000_000  # share quantum
+
+
+def kg_predicate_stats(spark, sf_dir: str) -> DataFrame:
+    """(pred, n_mentions, n_surfaces, n_convs, top_surface, top_share_ppm):
+    per-predicate distribution rollup over the mention stream — the skew
+    monitor that justifies (and sizes) the hot-entity salting in the
+    triple writer: top_share_ppm is the mention share of the predicate's
+    most frequent surface, the quantity that decides whether a predicate
+    partition needs its hot subject spread across salt buckets.
+
+    Deterministic: the top surface breaks count ties by surface ASC (a
+    row_number window over the per-(pred, surface) aggregate — vocabulary-
+    sized input, not the mention stream).  Integer share via
+    (cnt * 1e6) DIV total.  Two map-side-combined aggregations and one
+    tiny window — nothing touches the corpus twice.
+    """
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    # the mention stream feeds two different aggregations (per-surface
+    # counts, distinct conversations) whose exchanges don't overlap, so
+    # without a lineage cut the Arrow detector executes once per branch
+    # (the diamond trap kg_triangle_counts documented); checkpoint the
+    # 3-column projection once
+    m = (
+        detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+        .select("mention_type", "surface", "conv_id")
+        .localCheckpoint()
+    )
+    per_surface = m.groupBy(
+        F.col("mention_type").alias("pred"), "surface"
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    totals = per_surface.groupBy("pred").agg(
+        F.sum("cnt").cast("long").alias("n_mentions"),
+        F.count("*").cast("long").alias("n_surfaces"),
+    )
+    convs = (
+        m.select(F.col("mention_type").alias("pred"), "conv_id")
+        .distinct()
+        .groupBy("pred")
+        .agg(F.count("*").cast("long").alias("n_convs"))
+    )
+    w = Window.partitionBy("pred").orderBy(F.desc("cnt"), F.asc("surface"))
+    top = (
+        per_surface.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pred", F.col("surface").alias("top_surface"), F.col("cnt").alias("top_cnt"))
+    )
+    return (
+        totals.join(convs, "pred")
+        .join(top, "pred")
+        .select(
+            "pred",
+            "n_mentions",
+            "n_surfaces",
+            "n_convs",
+            "top_surface",
+            F.expr(f"CAST((top_cnt * {PS_Q}) DIV n_mentions AS BIGINT)").alias(
+                "top_share_ppm"
+            ),
+        )
+    )
+
+
+def predicate_stats_sql(mentions_sql: str) -> str:
+    return f"""
+WITH m AS ({mentions_sql}),
+per_surface AS (
+  SELECT mention_type AS pred, surface, CAST(count(*) AS BIGINT) AS cnt
+  FROM m GROUP BY mention_type, surface
+),
+totals AS (
+  SELECT pred, CAST(sum(cnt) AS BIGINT) AS n_mentions,
+         CAST(count(*) AS BIGINT) AS n_surfaces
+  FROM per_surface GROUP BY pred
+),
+convs AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_convs FROM (
+    SELECT DISTINCT mention_type AS pred, conv_id FROM m
+  ) GROUP BY pred
+),
+top AS (
+  SELECT pred, surface AS top_surface, cnt AS top_cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY pred
+                                 ORDER BY cnt DESC, surface) AS rn
+    FROM per_surface
+  ) WHERE rn = 1
+)
+SELECT t.pred, t.n_mentions, t.n_surfaces, c.n_convs, p.top_surface,
+       CAST((p.top_cnt * {PS_Q}) // t.n_mentions AS BIGINT) AS top_share_ppm
+FROM totals t JOIN convs c USING (pred) JOIN top p USING (pred)
+"""

@@ -35,6 +35,13 @@ def test_r5_graph_ops_on_empty_corpus(spark, empty_sf, tmp_path):
 
     assert kg_khop_kmv(spark, empty_sf).count() == 0
     assert kg_common_neighbors(spark, empty_sf).count() == 0
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        kg_entity_timeline,
+        kg_predicate_stats,
+    )
+
+    assert kg_entity_timeline(spark, empty_sf).count() == 0
+    assert kg_predicate_stats(spark, empty_sf).count() == 0
     assert (
         kg_canonical_pagerank_staged(spark, empty_sf, str(tmp_path / "pr")).count()
         == 0

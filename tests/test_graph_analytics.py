@@ -492,3 +492,80 @@ def test_canonical_pagerank_merges_alias_mass(spark):
     merged_away = {s for s, c in emap.items() if s != c}
     assert not (canon & merged_away)  # no non-canonical variant survives
     assert {c for c in emap.values() if c in raw} <= canon | (raw - set(emap))
+
+
+def test_entity_timeline_matches_python_reference(spark):
+    """Observation windows vs a direct Python recompute over the joined
+    mention/turn-ts stream (integer microseconds, distinct conv counts)."""
+    from collections import defaultdict
+
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        kg_entity_timeline,
+    )
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        detect_mentions_arrow,
+    )
+    from kie_invoice_minimal_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = transcripts_from_documents(spark, sf)
+    ts_of = {
+        (r.conv_id, r.turn_idx): int(r.ts.timestamp() * 1_000_000)
+        for r in t.select("conv_id", "turn_idx", "ts").collect()
+    }
+    agg = defaultdict(lambda: [None, None, 0, set()])
+    for r in detect_mentions_arrow(t).collect():
+        key = (r.surface, r.mention_type)
+        us = ts_of[(r.conv_id, r.turn_idx)]
+        a = agg[key]
+        a[0] = us if a[0] is None else min(a[0], us)
+        a[1] = us if a[1] is None else max(a[1], us)
+        a[2] += 1
+        a[3].add(r.conv_id)
+    expect = {
+        k: (v[0], v[1], v[2], len(v[3])) for k, v in agg.items()
+    }
+    got = {
+        (r.surface, r.pred): (r.first_ts_us, r.last_ts_us, r.n_mentions, r.n_convs)
+        for r in kg_entity_timeline(spark, sf).collect()
+    }
+    assert got == expect and got
+
+
+def test_predicate_stats_invariants(spark):
+    """Internal consistency + cross-check against the mention stream:
+    totals add up, shares are exact ppm, the top surface is the true
+    (count DESC, surface ASC) argmax."""
+    from collections import Counter, defaultdict
+
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        PS_Q,
+        kg_predicate_stats,
+    )
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        detect_mentions_arrow,
+    )
+    from kie_invoice_minimal_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mrows = detect_mentions_arrow(transcripts_from_documents(spark, sf)).collect()
+    cnt = Counter((r.mention_type, r.surface) for r in mrows)
+    convs = defaultdict(set)
+    for r in mrows:
+        convs[r.mention_type].add(r.conv_id)
+    got = {r.pred: r for r in kg_predicate_stats(spark, sf).collect()}
+    preds = {p for p, _s in cnt}
+    assert set(got) == preds
+    for p in preds:
+        sub = {s: c for (pp, s), c in cnt.items() if pp == p}
+        r = got[p]
+        assert r.n_mentions == sum(sub.values())
+        assert r.n_surfaces == len(sub)
+        assert r.n_convs == len(convs[p])
+        top = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert r.top_surface == top[0]
+        assert r.top_share_ppm == top[1] * PS_Q // r.n_mentions
