@@ -145,22 +145,22 @@ def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot holds
     exactly the first 50 entries in dict-iteration order (observed in
-    r01-r04).  Round-5 layout (99 entries total): positions 1-4 the
-    flagship kg_* four (entry() parity); 5-16 the operators changed or
+    r01-r04).  Round-5 layout (100 entries total): positions 1-4 the
+    flagship kg_* four (entry() parity); 5-17 the operators changed or
     added in round 5 (ta_doc_vectors' scalar-output reshape — the r4
     driver-gate FAIL fix; approx_stats' left-joined medians;
     ta_ngram_lm_score's DECIMAL(38,0) surprisal sums; kg_khop_counts'
     implemented degree cap; el_pipeline_staged's deterministic snapshot
     root; the new kg_canonical_pagerank_staged / kg_khop_kmv /
     kg_common_neighbors / ta_tfidf_topk / ta_chunk_dedup /
-    kg_entity_timeline / kg_predicate_stats); 17-50 thirty-four of the
-    42 entries whose last driver-green row dates from r03 (r4 verdict
-    item 3's rotation, widened to the whole window budget — exactly
-    double the ~17 the verdict asked for); the remaining eight r03-stale
-    entries (anti_join_no_orders, outer_join_order_counts,
-    ta_mixture_weights, g6_stratified_split, p4_threshold_fallback,
-    interval_overlap_join, o3_confusion_pivot, unpivot_readout) rotate
-    in round 6.  Everything past position 50 carries an r03/r04
+    kg_entity_timeline / kg_predicate_stats / ev_windowed_anomaly);
+    18-50 thirty-three of the 42 entries whose last driver-green row
+    dates from r03 (r4 verdict item 3's rotation, widened to the whole
+    window budget — roughly double the ~17 the verdict asked for); the
+    remaining nine r03-stale entries (anti_join_no_orders,
+    outer_join_order_counts, ta_mixture_weights, g6_stratified_split,
+    p4_threshold_fallback, interval_overlap_join, o3_confusion_pivot,
+    unpivot_readout, topk_orders_per_cust) rotate in round 6.  Everything past position 50 carries an r03/r04
     driver-green row, is UNCHANGED this round, and stays guarded by
     scripts/check_correctness.py (the local mimic of the gate, which
     since r5 also rejects non-scalar output columns — the divergence
@@ -205,7 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_chunk_dedup": TA.ta_chunk_dedup,  # new r5 (cross-doc chunk dedup)
         "kg_entity_timeline": GA.kg_entity_timeline,  # new r5 (temporal provenance)
         "kg_predicate_stats": GA.kg_predicate_stats,  # new r5 (skew monitor)
-        # 17-50: certification refresh — last driver-green row r03
+        "ev_windowed_anomaly": RX.ev_windowed_anomaly,  # new r5 (integer z^2 spikes)
+        # 18-50: certification refresh — last driver-green row r03
         "dd_band_clusters": DD.dd_band_clusters,
         "kg_triples_canonical": _kg_triples_canonical,
         "el_alias_triples": _el_alias_triples,
@@ -231,7 +232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_doc_stats": RX.grouping_sets_doc_stats,
         "tpch_q1_pricing": RX.tpch_q1_pricing,
         "sessionize_events": RX.sessionize_events,
-        "topk_orders_per_cust": RX.topk_orders_per_cust,
         "ta_repetition_filter": TA.ta_repetition_filter,
         "ta_redact_spans": TA.ta_redact_spans,
         "g3_nearest_neighbor": R.g3_nearest_neighbor,
@@ -243,9 +243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 51+: r03/r04 driver-green, unchanged in r5, guarded by the local
         # gate; anti_join_no_orders, outer_join_order_counts,
         # ta_mixture_weights, g6_stratified_split, p4_threshold_fallback,
-        # interval_overlap_join, o3_confusion_pivot and unpivot_readout are
-        # the eight r03-stale entries deferred to the round-6 rotation
-        # (displaced by the six new r5 operators)
+        # interval_overlap_join, o3_confusion_pivot, unpivot_readout and
+        # topk_orders_per_cust are the nine r03-stale entries deferred to
+        # the round-6 rotation (displaced by the seven new r5 operators)
+        "topk_orders_per_cust": RX.topk_orders_per_cust,
         "anti_join_no_orders": RX.anti_join_no_orders,
         "outer_join_order_counts": RX.outer_join_order_counts,
         "ta_mixture_weights": TA.ta_mixture_weights,
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicate_stats": GA.predicate_stats_sql(
             duckdb_oracle.mentions_sql()
         ),
+        "ev_windowed_anomaly": RX.EV_ANOMALY_SQL,
         "cc_event_pairs": duckdb_oracle.cc_over_band_pairs_sql(R.E2_SQL),
         "ta_token_stats": TA.TA_TOKEN_STATS_SQL,
         "ta_quality_score": TA.TA_QUALITY_SQL,

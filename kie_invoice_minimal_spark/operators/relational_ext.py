@@ -1615,3 +1615,98 @@ SELECT event_type, n,
                 * sx) / n / {LF_YQ}, 6) AS intercept
 FROM mom
 """
+
+
+# --- windowed anomaly detection (exact-integer z-score) -----------------------------
+
+EV_HOUR_US = 3_600_000_000
+EV_Z2_THS_PPM = 4_000_000  # z^2 >= 4  <=>  |z| >= 2
+
+
+def ev_windowed_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour_us, n_events, z2_ppm, is_anomaly): hourly event
+    counts per type with an EXACT-INTEGER z-score anomaly flag — the
+    volume-spike monitor an ingestion pipeline runs per stream (a
+    traffic anomaly on one event type flags before it poisons downstream
+    aggregates).
+
+    Cross-engine exactness: z itself needs sqrt + division in doubles,
+    so the emitted statistic is the SQUARED z in ppm over the population
+    variance, all integer:  z2_ppm = ((x·n − s)² · 1e6) DIV (n·ss − s²)
+    with s = Σx, ss = Σx² over the type's hours — algebraically
+    z² = (x−μ)²/σ² with no intermediate rounding; is_anomaly = z2_ppm ≥
+    4e6 (|z| ≥ 2).  Moment products widen to DECIMAL(38,0)/HUGEINT
+    before multiplying (the stats_linear_fit discipline — (x·n−s)²
+    exceeds int64 headroom at corpus scale).  A type with zero variance
+    (or one hour) emits NULL z2/flag — try-divide semantics on both
+    engines.
+
+    Shape at 100 TB: one map-side-combined groupBy to hourly counts
+    (time-bucket keys, no skew beyond real traffic), one tiny per-type
+    moment aggregation, a broadcast-sized join back.  Reference analog:
+    score thresholding, kie_utils.py:300-323."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr(
+            f"(unix_micros(CAST(ts AS TIMESTAMP)) DIV {EV_HOUR_US})"
+            f" * {EV_HOUR_US}"
+        ).alias("hour_us"),
+    )
+    hourly = ev.groupBy("event_type", "hour_us").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    mom = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.expr("CAST(n_events AS DECIMAL(38,0)) * n_events")).alias("ss"),
+    )
+    z2 = (
+        "CASE WHEN CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s = 0"
+        " THEN NULL ELSE"
+        " CAST(((CAST(n_events AS DECIMAL(38,0)) * n - s)"
+        "  * (CAST(n_events AS DECIMAL(38,0)) * n - s) * 1000000)"
+        " DIV (CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"
+        " AS BIGINT) END"
+    )
+    return (
+        hourly.join(mom, "event_type")
+        .select(
+            "event_type",
+            "hour_us",
+            "n_events",
+            F.expr(z2).alias("z2_ppm"),
+            F.expr(
+                f"CAST(CASE WHEN ({z2}) IS NULL THEN NULL"
+                f" WHEN ({z2}) >= {EV_Z2_THS_PPM} THEN 1 ELSE 0 END AS INT)"
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+EV_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(ts) // {EV_HOUR_US}) * {EV_HOUR_US} AS hour_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, (epoch_us(ts) // {EV_HOUR_US}) * {EV_HOUR_US}
+),
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         sum(CAST(n_events AS HUGEINT) * n_events) AS ss
+  FROM hourly GROUP BY event_type
+),
+j AS (
+  SELECT h.event_type, h.hour_us, h.n_events,
+         CAST(h.n_events AS HUGEINT) * m.n - m.s AS num,
+         CAST(m.n AS HUGEINT) * m.ss - CAST(m.s AS HUGEINT) * m.s AS den
+  FROM hourly h JOIN mom m USING (event_type)
+)
+SELECT event_type, hour_us, n_events,
+       CAST(CASE WHEN den = 0 THEN NULL
+            ELSE (num * num * 1000000) // den END AS BIGINT) AS z2_ppm,
+       CAST(CASE WHEN den = 0 THEN NULL
+            WHEN (num * num * 1000000) // den >= {EV_Z2_THS_PPM} THEN 1
+            ELSE 0 END AS INTEGER) AS is_anomaly
+FROM j
+"""

@@ -75,3 +75,42 @@ def test_curate_corpus_composes_standalone_operators(spark):
     want = keepers & quality & lang
     got = {r.doc_id for r in ta_curate_corpus(spark, SF).collect()}
     assert got == want and len(got) > 0
+
+
+def test_windowed_anomaly_matches_python_reference(spark):
+    """Hourly counts + exact-integer z^2 vs a direct Python recompute
+    (population variance, floor division, |z|>=2 flag)."""
+    from collections import Counter, defaultdict
+
+    from kie_invoice_minimal_spark.operators.relational_ext import (
+        EV_HOUR_US,
+        EV_Z2_THS_PPM,
+        ev_windowed_anomaly,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_type", "ts").collect()
+    cnt = Counter(
+        (r.event_type, int(r.ts.timestamp() * 1_000_000) // EV_HOUR_US * EV_HOUR_US)
+        for r in ev
+    )
+    by_type = defaultdict(list)
+    for (et, h), x in cnt.items():
+        by_type[et].append(x)
+    expect = {}
+    for (et, h), x in cnt.items():
+        xs = by_type[et]
+        n, s, ss = len(xs), sum(xs), sum(v * v for v in xs)
+        den = n * ss - s * s
+        if den == 0:
+            expect[(et, h)] = (x, None, None)
+        else:
+            z2 = ((x * n - s) ** 2 * 1_000_000) // den
+            expect[(et, h)] = (x, z2, 1 if z2 >= EV_Z2_THS_PPM else 0)
+    got = {
+        (r.event_type, r.hour_us): (r.n_events, r.z2_ppm, r.is_anomaly)
+        for r in ev_windowed_anomaly(spark, sf).collect()
+    }
+    assert got == expect
+    assert any(v[2] == 1 for v in got.values())  # non-vacuous flags
+    assert any(v[2] == 0 for v in got.values())

@@ -62,9 +62,9 @@ def test_certification_window_holds_round5_critical_entries():
         "kg_khop_counts", "el_pipeline_staged",
         "kg_canonical_pagerank_staged", "kg_khop_kmv",
         "kg_common_neighbors", "ta_tfidf_topk", "ta_chunk_dedup",
-        "kg_entity_timeline", "kg_predicate_stats",
-        # stale tail: last driver-green row dated r03 (34 of 42; the
-        # remaining eight rotate in round 6)
+        "kg_entity_timeline", "kg_predicate_stats", "ev_windowed_anomaly",
+        # stale tail: last driver-green row dated r03 (33 of 42; the
+        # remaining nine rotate in round 6)
         "dd_band_clusters", "kg_triples_canonical", "el_alias_triples",
         "el_levenshtein_pairs", "ss_ivf_ann", "kg_mentions_rescan",
         "cc_event_pairs", "e2_band_self_join", "dd_lsh_verified_dups",
@@ -74,7 +74,7 @@ def test_certification_window_holds_round5_critical_entries():
         "asof_click_after_view", "stats_percentiles", "w_ntile_lag",
         "w_range_frame", "cube_doc_stats", "grouping_sets_doc_stats",
         "tpch_q1_pricing",
-        "sessionize_events", "topk_orders_per_cust",
+        "sessionize_events",
         "ta_repetition_filter", "ta_redact_spans",
         "g3_nearest_neighbor",
         "dd_minhash_signatures", "dd_minhash_lsh_pairs",

@@ -62,6 +62,11 @@ def test_r5_changed_ops_on_empty_corpus(spark, empty_sf):
     assert approx_stats(spark, empty_sf).count() == 0
     assert ta_tfidf_topk(spark, empty_sf).count() == 0
     assert ta_chunk_dedup(spark, empty_sf).count() == 0
+    from kie_invoice_minimal_spark.operators.relational_ext import (
+        ev_windowed_anomaly,
+    )
+
+    assert ev_windowed_anomaly(spark, empty_sf).count() == 0
 
 
 def test_khop_kmv_single_edge(spark):
