@@ -931,9 +931,18 @@ def ta_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine-exact by construction: the classic log-idf would hinge
     on ln() ulp agreement (the same trap ta_ngram_lm_score documents), so
     idf is the QUANTIZED INVERSE document frequency
-    ``(N * 1e6) DIV df`` and tfidf_q = tf * idf_q — monotone in
-    tf·(N/df), pure BIGINT, byte-identical in DuckDB.  Ties break
-    (tfidf_q DESC, term ASC) so the top-3 is fully deterministic.
+    ``idf_q = (N * 1e6) DIV df`` and
+    ``tfidf_q = (CAST(tf AS DECIMAL(38,0)) * idf_q) DIV N`` ≈ tf·1e6/df —
+    the r5 ADVICE overflow fix: the old pure-BIGINT ``tf * idf_q`` wraps
+    silently in Spark at corpus scale (rare term, tf ≳ 9e3) while DuckDB
+    errors — the exact divergence class ta_ngram_lm_score fixed; widening
+    the product to DECIMAL(38,0) (HUGEINT in DuckDB) and normalizing by N
+    makes the emitted value provably int64-bounded for ANY corpus
+    (overflow would need tf > 9.2e12 tokens in ONE document) while
+    preserving the tf·(N/df) ranking up to the coarser quantization
+    (x DIV N is monotone; quantization ties break deterministically).
+    Ties break (tfidf_q DESC, term ASC) so the top-3 is fully
+    deterministic.
 
     Shape at 100 TB: one explode → per-(doc, term) counts with map-side
     combine (one shuffle on (doc_id, term)); the df table is
@@ -958,7 +967,10 @@ def ta_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            F.expr(f"tf * ((n_docs * {TFIDF_Q}) DIV df)").alias("tfidf_q"),
+            F.expr(
+                f"CAST((CAST(tf AS DECIMAL(38,0)) * ((n_docs * {TFIDF_Q}) DIV df))"
+                " DIV n_docs AS BIGINT)"
+            ).alias("tfidf_q"),
         )
     )
     from pyspark.sql import Window
@@ -985,7 +997,9 @@ df_t AS (
 ),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
 scored AS (
-  SELECT tf.doc_id, tf.term, tf.tf * ((n.n_docs * {TFIDF_Q}) // df_t.df) AS tfidf_q
+  SELECT tf.doc_id, tf.term,
+         CAST((CAST(tf.tf AS HUGEINT) * ((n.n_docs * {TFIDF_Q}) // df_t.df))
+              // n.n_docs AS BIGINT) AS tfidf_q
   FROM tf JOIN df_t USING (term) CROSS JOIN n
 )
 SELECT doc_id, term, tfidf_q, CAST(rank AS INTEGER) AS rank FROM (

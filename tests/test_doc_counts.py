@@ -47,38 +47,30 @@ def test_oracle_registry_is_consistent():
     assert set(qs) - set(os_) == set()
 
 
-def test_certification_window_holds_round5_critical_entries():
+def test_certification_window_holds_round6_critical_entries():
     """The driver snapshots exactly the first 50 queries() entries, so
-    every round-5 changed/new operator and the 40 stale (r03-last-
-    certified) entries being refreshed MUST sit inside positions 0-49
-    (see the queries() docstring).  This pins the ordering mechanically so
-    a refactor cannot silently push a needs-certification entry past the
-    cutoff."""
+    every round-6 changed/new operator and the final r03-stale tranche
+    MUST sit inside positions 0-49 (see the queries() docstring).  This
+    pins the ordering mechanically so a refactor cannot silently push a
+    needs-certification entry past the cutoff."""
     names = list(entrymod.queries())
     first50 = set(names[:50])
     critical = {
-        # changed or new in round 5
-        "ta_doc_vectors", "approx_stats", "ta_ngram_lm_score",
-        "kg_khop_counts", "el_pipeline_staged",
-        "kg_canonical_pagerank_staged", "kg_khop_kmv",
-        "kg_common_neighbors", "ta_tfidf_topk", "ta_chunk_dedup",
-        "kg_entity_timeline", "kg_predicate_stats", "ev_windowed_anomaly",
-        # stale tail: last driver-green row dated r03 (33 of 42; the
-        # remaining nine rotate in round 6)
-        "dd_band_clusters", "kg_triples_canonical", "el_alias_triples",
-        "el_levenshtein_pairs", "ss_ivf_ann", "kg_mentions_rescan",
-        "cc_event_pairs", "e2_band_self_join", "dd_lsh_verified_dups",
-        "ss_lsh_multitable_ann", "ta_pack_sequences", "dd_contamination",
-        "a2a3_message_pass", "g5_turn_rank", "g5_merge_conversations",
-        "g4_realign_semi_join", "setop_split_check",
-        "asof_click_after_view", "stats_percentiles", "w_ntile_lag",
-        "w_range_frame", "cube_doc_stats", "grouping_sets_doc_stats",
-        "tpch_q1_pricing",
-        "sessionize_events",
-        "ta_repetition_filter", "ta_redact_spans",
-        "g3_nearest_neighbor",
-        "dd_minhash_signatures", "dd_minhash_lsh_pairs",
-        "dd_ngram_jaccard", "dd_embedding_cosine", "dd_dup_clusters",
+        # changed in round 6: comention-edge per-conversation cap +
+        # two-phase PageRank ranking re-plan every comention consumer
+        "kg_entity_pagerank", "kg_canonical_pagerank",
+        "kg_canonical_pagerank_staged", "kg_triangle_counts",
+        "kg_khop_counts", "kg_khop_kmv", "kg_common_neighbors",
+        "kg_export_neighbors",
+        # changed in round 6: DECIMAL(38,0) overflow fix (r5 ADVICE 1)
+        "ta_tfidf_topk",
+        # new in round 6
+        "kg_canonical_pagerank_derive", "mm_payload_dedup",
+        # the final nine r03-stale entries (rotation debt paid this round)
+        "anti_join_no_orders", "outer_join_order_counts",
+        "ta_mixture_weights", "g6_stratified_split",
+        "p4_threshold_fallback", "interval_overlap_join",
+        "o3_confusion_pivot", "unpivot_readout", "topk_orders_per_cust",
     }
     missing = critical - first50
     assert not missing, f"pushed past the 50-entry snapshot: {sorted(missing)}"

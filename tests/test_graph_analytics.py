@@ -55,6 +55,56 @@ def test_pagerank_empty_edges(spark):
     assert pagerank(empty).count() == 0
 
 
+def test_pagerank_two_phase_rank_is_contiguous(spark):
+    """The r6 two-phase ranking (range partition + local row_number +
+    offset join) must reproduce the exact total-order rank: a permutation
+    of 1..N aligned with (score DESC, surface ASC)."""
+    out = pagerank(_star_edges(spark)).collect()
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, len(out) + 1)), ranks
+    by_order = sorted(out, key=lambda r: (-r.pagerank_q, r.surface))
+    assert [r.rank for r in by_order] == list(range(1, len(out) + 1))
+
+
+def test_comention_hot_conversation_is_capped(spark):
+    """r5 verdict item 3: one hot conversation planting 10k distinct
+    surfaces (an agent loop spamming entity lists) must NOT emit ~10^8
+    pair rows — edge generation is bounded by cap·(cap−1) per
+    conversation, and the capped selection keeps the top surfaces by
+    mention count (ties by name)."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        COMENTION_CAP,
+        capped_conv_surfaces,
+        comention_edges,
+    )
+
+    rows = [("hot", f"E{i:05d}", "NAME") for i in range(10_000)]
+    # the first CAP surfaces get a second mention -> they are the keepers
+    rows += [("hot", f"E{i:05d}", "NAME") for i in range(COMENTION_CAP)]
+    m = spark.createDataFrame(
+        rows, "conv_id string, surface string, mention_type string"
+    )
+    kept = capped_conv_surfaces(m).collect()
+    assert len(kept) == COMENTION_CAP
+    assert {r.surface for r in kept} == {f"E{i:05d}" for i in range(COMENTION_CAP)}
+    n_edges = comention_edges(m).count()
+    assert n_edges == COMENTION_CAP * (COMENTION_CAP - 1), n_edges
+
+
+def test_comention_exact_below_cap(spark):
+    """Conversations with ≤ cap distinct surfaces are untouched by the cap
+    (the fixture regime): edges equal the uncapped pairing."""
+    rows = [(f"c{j}", f"S{i}", "BRAND") for j in range(5) for i in range(4)]
+    m = spark.createDataFrame(
+        rows, "conv_id string, surface string, mention_type string"
+    )
+    from kie_invoice_minimal_spark.operators.graph_analytics import comention_edges
+
+    got = {(r.src, r.dst, r.w) for r in comention_edges(m).collect()}
+    want = {(f"S{a}", f"S{b}", 5) for a in range(4) for b in range(4) if a != b}
+    assert got == want
+
+
 def test_incremental_dedup_invariants(spark):
     out = dd_incremental(spark, SF)
     rows = out.collect()

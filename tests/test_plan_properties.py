@@ -94,6 +94,19 @@ def test_contamination_has_no_forced_broadcast(spark):
     )
 
 
+def test_pagerank_has_no_single_partition_window(spark):
+    """r5 verdict item 4: the final PageRank ranking must be the two-phase
+    distributed rank — NO empty-partition window (whose WindowExec drags
+    the whole entity table through one task) anywhere in the plan.  An
+    empty partition spec prints as windowspecdefinition(<sort col> ASC/
+    DESC ..., frame) — the first argument already carries a sort
+    direction; a partitioned window leads with bare partition columns."""
+    for name in ("kg_entity_pagerank", "kg_canonical_pagerank"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        hit = re.search(r"windowspecdefinition\([^,()]+ (?:ASC|DESC)", plan)
+        assert not hit, f"{name} has a global-sort window: {hit.group(0)}"
+
+
 def test_pack_heavy_window_is_bucket_partitioned(spark):
     """ta_pack_sequences' corpus-wide cumsum must stay a bucketed window —
     a bare Window.orderBy(doc_id) would drag the whole table through ONE
