@@ -809,6 +809,57 @@ FROM e GROUP BY src
 """
 
 
+# --- degree distribution (graph-shape monitor) --------------------------------------
+
+def kg_degree_distribution(spark, sf_dir: str) -> DataFrame:
+    """(bucket, n_nodes, min_deg, max_deg, sum_deg): log2-binned degree
+    histogram of the co-mention graph — the graph-shape monitor that
+    detects hub emergence (a new high bucket appearing) and
+    fragmentation (mass piling into bucket 0) without materializing
+    anything per-node downstream.  Operationally the companion to
+    kg_predicate_stats: that one sizes the triple-write salting, this
+    one decides whether the adjacency caps (KHOP_CAP, COMENTION_CAP)
+    still cover the degree mass.
+
+    bucket = floor(log2(degree)) computed as length(bin(deg)) − 1 —
+    pure integer/string arithmetic, byte-identical in DuckDB (float
+    log2 at exact powers of two is a libm ulp hazard across engines).
+    Shape: one degree aggregation (map-side combined) then a
+    bucket-count aggregation over the node table — nothing bigger than
+    the entity set ever shuffles."""
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    deg = comention_edges(m).groupBy("src").agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    return (
+        deg.groupBy(
+            (F.length(F.bin(F.col("deg"))) - 1).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+            F.sum("deg").cast("long").alias("sum_deg"),
+        )
+    )
+
+
+def degree_distribution_sql(mentions_sql: str) -> str:
+    return f"""
+WITH {_graph_cte(mentions_sql)},
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)
+SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg,
+       CAST(sum(deg) AS BIGINT) AS sum_deg
+FROM deg GROUP BY 1
+"""
+
+
 # --- entity observation timelines (temporal provenance) -----------------------------
 
 def kg_entity_timeline(spark, sf_dir: str) -> DataFrame:

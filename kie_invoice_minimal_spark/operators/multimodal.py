@@ -151,3 +151,116 @@ FROM p GROUP BY payload_fp
 
 
 MM_PAYLOAD_DEDUP_SQL = _mm_payload_dedup_sql()
+
+
+MM_FRAME_SAMPLE_STEP = 2  # hash every 2nd frame, mirroring mm_frame_sample
+MM_FRAME_CHARS = 40  # chars per fake frame slice (small enough that fixture
+#                      docs span many frames; a real decoder replaces this)
+
+
+def mm_frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_frames_hashed, n_dup_frames, dup_frac_ppm): FRAME-level
+    cross-asset dedup — the video-pipeline composition of mm_frame_sample
+    and the dedup family: sample every 2nd frame, fingerprint each
+    frame's content, and score every asset by the fraction of its frames
+    that also appear in ANOTHER asset (near-identical videos, shared
+    intros/outros, re-encoded copies that exact payload dedup misses
+    when container bytes differ).
+
+    The decoder is the documented environmental stub, so a "frame" is a
+    deterministic MM_FRAME_CHARS-char slice of the payload text (the real
+    pipeline swaps the slice for decoded-frame bytes/perceptual hash;
+    schema, explode shape and the fingerprint join are identical).
+    Frames travel as 60-bit md5 fingerprints only.  A frame is
+    DUPLICATED when its fingerprint occurs in more than one distinct
+    document.  dup_frac_ppm = (n_dup · 1e6) DIV n_frames, NULL-guarded
+    for frameless assets on both engines (Spark DIV 0 → NULL but DuckDB
+    // 0 errors — the CASE keeps the dialects aligned).
+
+    Shape at 100 TB of video: the frame stream is rows ≈ frames/2, the
+    fingerprint table aggregates with map-side combine on fp, and the
+    ownership join is fp-keyed — no payload bytes cross any shuffle.
+    Reference analog: per-crop batched hashing of the detector outputs,
+    kie_utils.py:133-150."""
+    from .text_analysis import mdhash_spark
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    fr = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") > 0,
+                F.expr(
+                    f"sequence(CAST(0 AS BIGINT),"
+                    f" CAST((length(text) - 1) DIV {MM_FRAME_CHARS} AS BIGINT),"
+                    f" CAST({MM_FRAME_SAMPLE_STEP} AS BIGINT))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        ).alias("fi"),
+        "text",
+    )
+    frames = fr.select(
+        "doc_id",
+        mdhash_spark(
+            F.expr(
+                f"substring(text, CAST(fi * {MM_FRAME_CHARS} + 1 AS INT), {MM_FRAME_CHARS})"
+            )
+        ).alias("fp"),
+    )
+    nd = frames.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per = (
+        frames.join(nd, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_frames_hashed"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_frames"),
+        )
+    )
+    return docs.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_frames_hashed", F.lit(0)).cast("long").alias("n_frames_hashed"),
+        F.coalesce("n_dup_frames", F.lit(0)).cast("long").alias("n_dup_frames"),
+        F.expr(
+            "CASE WHEN coalesce(n_frames_hashed, CAST(0 AS BIGINT)) > 0"
+            " THEN CAST((n_dup_frames * 1000000) DIV n_frames_hashed AS BIGINT)"
+            " ELSE CAST(NULL AS BIGINT) END"
+        ).alias("dup_frac_ppm"),
+    )
+
+
+def _mm_frame_hash_dedup_sql() -> str:
+    from .text_analysis import MDHASH_SQL
+
+    fp = MDHASH_SQL(
+        f"substring(text, CAST(fi * {MM_FRAME_CHARS} + 1 AS INT), {MM_FRAME_CHARS})"
+    )
+    return f"""
+WITH fr AS (
+  SELECT doc_id,
+         unnest(range(0, ((length(text) - 1) // {MM_FRAME_CHARS}) + 1,
+                      {MM_FRAME_SAMPLE_STEP})) AS fi,
+         text
+  FROM documents WHERE length(text) > 0
+),
+frames AS (SELECT doc_id, {fp} AS fp FROM fr),
+nd AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM frames GROUP BY fp),
+per AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_frames_hashed,
+         CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames
+  FROM frames f JOIN nd USING (fp) GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_frames_hashed, 0) AS BIGINT) AS n_frames_hashed,
+       CAST(COALESCE(p.n_dup_frames, 0) AS BIGINT) AS n_dup_frames,
+       CASE WHEN COALESCE(p.n_frames_hashed, 0) > 0
+            THEN CAST((p.n_dup_frames * 1000000) // p.n_frames_hashed AS BIGINT)
+            ELSE NULL END AS dup_frac_ppm
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+MM_FRAME_HASH_DEDUP_SQL = _mm_frame_hash_dedup_sql()

@@ -282,3 +282,50 @@ def test_streaming_redaction_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in redact_turns(t).collect()}
     assert got == want
     assert any(r[3] > 0 or r[4] > 0 for r in got)  # redactions actually occur
+
+
+def test_foreachbatch_restart_resumes_without_duplicates(spark, tmp_path):
+    """Kill/restart discipline for the streaming sink (r6, closing the gap
+    STREAMING.md documented): a NEW query started on the SAME checkpoint
+    after a clean stop must process only the files that arrived while it
+    was down, and the union of epoch outputs equals the batch extraction
+    — no duplicates, no gaps."""
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        detect_mentions_arrow,
+    )
+    from kie_invoice_minimal_spark.streaming.stream_pipeline import (
+        run_mentions_to_parquet,
+    )
+
+    in_dir = str(tmp_path / "in_restart")
+    out_dir = str(tmp_path / "out_restart")
+    ckpt = str(tmp_path / "ckpt_restart")
+    t = synth_transcripts(spark, 400)
+    t.filter("turn_idx < 2").write.mode("append").parquet(in_dir)
+
+    q1 = run_mentions_to_parquet(spark, in_dir, out_dir, ckpt)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first > 0
+
+    # new data lands while the query is DOWN; restart from the checkpoint
+    t.filter("turn_idx >= 2").write.mode("append").parquet(in_dir)
+    q2 = run_mentions_to_parquet(spark, in_dir, out_dir, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.pos, r.surface, r.mention_type)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.pos, r.surface, r.mention_type)
+        for r in detect_mentions_arrow(t).collect()
+    )
+    assert len(got) > n_first  # the restart actually processed new files
+    assert got == want  # exactly-once across the restart
