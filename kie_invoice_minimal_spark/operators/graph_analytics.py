@@ -1010,3 +1010,201 @@ SELECT t.pred, t.n_mentions, t.n_surfaces, c.n_convs, p.top_surface,
        CAST((p.top_cnt * {PS_Q}) // t.n_mentions AS BIGINT) AS top_share_ppm
 FROM totals t JOIN convs c USING (pred) JOIN top p USING (pred)
 """
+
+
+# --- edge lift (statistical edge pruning) -------------------------------------------
+
+LIFT_Q = 1_000_000  # ppm quantization for the lift score
+
+
+def kg_edge_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w, lift_ppm): association LIFT for every co-mention edge
+    — lift = P(src,dst) / (P(src)·P(dst)) over conversations, the signal
+    that separates genuinely associated entity pairs from pairs that
+    co-occur only because both are frequent.  At 100 TB this is the edge
+    PRUNING criterion: a corpus-scale co-mention graph keeps edges with
+    lift above a threshold, not edges with raw weight above one, because
+    raw weight just re-ranks the head of the frequency distribution.
+
+    Exact integer arithmetic end to end (no log-PMI — float ln() is a
+    cross-engine ulp hazard; lift is the same ORDER as PMI for fixed
+    pair):  lift_ppm = (w · n_conv · 1e6) DIV (c_src · c_dst), where w =
+    conversations containing BOTH surfaces (the capped edge weight),
+    c_s = conversations containing s, n_conv = conversations with ≥1
+    capped NAME/BRAND surface.  Products are widened to DECIMAL(38,0)
+    (HUGEINT in the DuckDB twin): w·n_conv·1e6 ≤ 1e12·1e12·1e6 = 1e30
+    fits 38 digits where pure BIGINT wraps silently at ~9.2e18 — the
+    same overflow discipline as ta_ngram_lm_score / ta_tfidf_topk.
+
+    Shape: edges are O(conversations · cap²) via capped_conv_surfaces;
+    the capped surface table is localCheckpoint'd ONCE because it feeds
+    FOUR plan branches (both sides of the pairing join, the surface
+    counts, the conversation total) — uncut, the final plan carried five
+    copies of the mention-detection lineage (19 exchanges / 5 arrow ops
+    audited; 5 / 0 after the cut — detection rides the checkpoint job,
+    audited once there), correct only via runtime
+    ReusedExchange — the same fan-out discipline as pagerank's ew/nodes
+    checkpoints.  Surface counts are entity-sized equi-joins on src/dst,
+    and n_conv rides a broadcast 1-row cross join.  Nothing bigger than
+    the edge table ever shuffles.  Reference analog: edge-score
+    thresholding before graph construction, backend/kie/kie_utils.py
+    (adjacency built from score-filtered boxes).
+    """
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    cs = capped_conv_surfaces(m).localCheckpoint()
+    a, b = cs.alias("a"), cs.alias("b")
+    e = (
+        a.join(b, "conv_id")
+        .filter(F.col("a.surface") != F.col("b.surface"))
+        .groupBy(
+            F.col("a.surface").alias("src"), F.col("b.surface").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    sc = cs.groupBy("surface").agg(F.count("*").cast("long").alias("c_s"))
+    tot = cs.agg(F.countDistinct("conv_id").cast("long").alias("n_conv"))
+    return (
+        e.join(
+            sc.select(F.col("surface").alias("src"), F.col("c_s").alias("c_src")),
+            "src",
+        )
+        .join(
+            sc.select(F.col("surface").alias("dst"), F.col("c_s").alias("c_dst")),
+            "dst",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            "dst",
+            "w",
+            F.expr(
+                f"CAST((CAST(w AS DECIMAL(38,0)) * n_conv * {LIFT_Q})"
+                " DIV (CAST(c_src AS DECIMAL(38,0)) * c_dst) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def edge_lift_sql(mentions_sql: str) -> str:
+    return f"""
+WITH {_graph_cte(mentions_sql)},
+sc AS (SELECT surface, CAST(count(*) AS BIGINT) AS c_s FROM cs GROUP BY surface),
+tot AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conv FROM cs)
+SELECT e.src, e.dst, e.w,
+       CAST((CAST(e.w AS HUGEINT) * tot.n_conv * {LIFT_Q})
+            // (CAST(sa.c_s AS HUGEINT) * sb.c_s) AS BIGINT) AS lift_ppm
+FROM e
+JOIN sc sa ON sa.surface = e.src
+JOIN sc sb ON sb.surface = e.dst
+CROSS JOIN tot
+"""
+
+
+# --- k-core peel (dense-backbone monitor) -------------------------------------------
+
+KCORE_K = 18  # minimum degree a node needs to survive a peel.  Chosen so
+#               EVERY peel round binds on the synthetic fixture (sf0.01
+#               sequence 36 -> 25 -> 8 -> 0 nodes): a k below the fixture's
+#               minimum degree would certify only the nothing-to-peel path.
+KCORE_PEELS = 4  # fixed peel rounds (bounded compute; convergence is visible
+#                  in the output when successive rows stop shrinking)
+
+
+def kcore_peel(
+    e: DataFrame, k: int = KCORE_K, peels: int = KCORE_PEELS
+) -> DataFrame:
+    """(peel, n_nodes, n_edges): surviving node / directed-edge counts
+    after each of ``peels`` fixed rounds of k-core peeling — drop every
+    node with fewer than k distinct neighbors, drop edges touching a
+    dropped node, repeat.  The dense-backbone monitor: the k-core is
+    where a KG's reliable structure lives (alias clusters, recurring
+    entity groups), and watching the peel sequence tells whether the
+    graph is densifying (counts stabilize high) or fragmenting (counts
+    collapse to zero) release over release.
+
+    FIXED peel count, not a fixpoint loop — the same determinism bargain
+    as the 8-iteration PageRank: both engines unroll identical rounds, no
+    data-dependent convergence test to disagree on.  Rows where
+    consecutive peels are equal certify the true k-core was reached.
+
+    Scale shape: each round is one map-side-combined degree count plus
+    two node-keyed semi-joins; the edge table is localCheckpoint'd per
+    round — without the cut each round references its predecessor THREE
+    times (degree + both endpoint filters), so lineage grows 3^peels (81
+    subtree copies by round 4); with it, linear — the same per-round
+    materialization discipline as connected_components (which cuts for
+    the same fan-out reason).  n_edges counts DIRECTED rows (the
+    symmetric edge list carries each undirected edge twice).
+    """
+    out = None
+    cur = e.select("src", "dst").localCheckpoint()
+    for i in range(1, peels + 1):
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        cur = (
+            cur.join(keep, cur.src == keep.node, "left_semi")
+            .join(keep, cur.dst == keep.node, "left_semi")
+            .localCheckpoint()
+        )
+        row = (
+            cur.agg(F.count("*").cast("long").alias("n_edges"))
+            .crossJoin(
+                cur.select(F.col("src").alias("node"))
+                .distinct()
+                .agg(F.count("*").cast("long").alias("n_nodes"))
+            )
+            .select(
+                F.lit(i).cast("int").alias("peel"), "n_nodes", "n_edges"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel sequence of the NAME/BRAND co-mention graph."""
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    return kcore_peel(comention_edges(m))
+
+
+def kcore_sql(
+    mentions_sql: str, k: int = KCORE_K, peels: int = KCORE_PEELS
+) -> str:
+    """Unrolled peel rounds as chained CTEs (e → e1 → … → e{peels}).
+
+    Every n{i}/e{i} is AS MATERIALIZED: DuckDB inlines plain CTEs, and
+    each level references its predecessor three times (degree subquery +
+    both endpoint joins) plus the final counts twice more — inlined,
+    the chain re-evaluates the base graph 3^peels times (the k-scan that
+    chose KCORE_K timed out before materialization; 0.3 s after).  The
+    exact oracle-side twin of the Spark path's per-round localCheckpoint."""
+    ctes, selects, prev = [], [], "e"
+    for i in range(1, peels + 1):
+        ctes.append(
+            f"""n{i} AS MATERIALIZED (
+  SELECT src AS node FROM (SELECT src, count(*) AS deg FROM {prev} GROUP BY src)
+  WHERE deg >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT x.src, x.dst FROM {prev} x
+  JOIN n{i} a ON x.src = a.node JOIN n{i} b ON x.dst = b.node
+)"""
+        )
+        selects.append(
+            f"SELECT {i} AS peel,"
+            f" CAST((SELECT count(DISTINCT src) FROM e{i}) AS BIGINT) AS n_nodes,"
+            f" CAST((SELECT count(*) FROM e{i}) AS BIGINT) AS n_edges"
+        )
+        prev = f"e{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_graph_cte(mentions_sql)},
+{body}
+{' UNION ALL '.join(selects)}
+"""

@@ -169,3 +169,73 @@ def streaming_exact_dedup(transcripts: DataFrame) -> DataFrame:
         .withWatermark("ts", WATERMARK)
         .dropDuplicatesWithinWatermark(["text_fp"])
     )
+
+
+def run_novel_facts_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+):
+    """Continuous NOVEL-FACT extraction — the streaming twin of
+    ``operators.triples.kg_triples_incremental`` (north star: resumable,
+    incremental graph materialization).  Finalized session triples are
+    fingerprinted by FACT identity (md5(pred, obj) — independent of which
+    conversation asserted the fact), anti-joined per micro-batch against
+    the PERSISTENT fact index, and only first-ever assertions reach the
+    sink; the batch's own fingerprints are then merged into the index so
+    later batches (and later runs resuming from the same checkpoint)
+    suppress them.
+
+    Exactly-once discipline, same shape as ``run_mentions_to_parquet``:
+    both the novel-triple output and the index delta go to
+    epoch-suffixed directories (a retried epoch overwrites itself), and
+    the index read EXCLUDES the current epoch's partition — on a retry
+    the failed attempt's own delta is already on disk, and without the
+    ``epoch < current`` guard the batch would anti-join against its own
+    facts and emit an empty epoch (torn output) instead of reproducing
+    the original one.
+
+    Scale shape: the index is fp-only (60-bit ints, never obj strings) —
+    the stream-side join is stream-static on fp, re-resolved from disk
+    each epoch so compaction/bucketing of the index under the same path
+    is transparent; on a real deployment the index is an Iceberg table
+    and the two writes are one MERGE transaction.  Intra-batch repeats
+    collapse with a per-batch dropDuplicates on fp (bounded by batch
+    size, not stream history — the unbounded-state dedup stays in the
+    index, which lives on disk, not in executor memory).
+    """
+    from ..operators.text_analysis import mdhash_spark
+
+    t = streaming_triples(read_transcript_stream(spark, input_dir), gap=gap)
+
+    def sink(batch_df, epoch_id: int) -> None:
+        b = (
+            batch_df.withColumn(
+                "fp", mdhash_spark(F.concat_ws("\x01", "pred", "obj"))
+            )
+            .dropDuplicates(["fp"])
+        )
+        try:
+            idx = spark.read.parquet(index_dir).filter(
+                F.col("epoch") < F.lit(epoch_id)
+            )
+            novel = b.join(idx, "fp", "left_anti")
+        except Exception:  # first epoch: no index yet
+            novel = b
+        novel.persist()
+        novel.select("subj", "pred", "obj", "conv_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/epoch={epoch_id}")
+        novel.select("fp").write.mode("overwrite").parquet(
+            f"{index_dir}/epoch={epoch_id}"
+        )
+        novel.unpersist()
+
+    return (
+        t.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

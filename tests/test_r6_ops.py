@@ -143,3 +143,91 @@ def test_triples_incremental_matches_python_reference(spark):
     assert got == expect
     n_batch = sum(1 for (s, p, o, c) in trip if slot(c) == KG_INCR_REM)
     assert 0 < len(got) < n_batch  # suppression actually happens
+
+
+def _capped_surfaces(spark, cap):
+    """Pure-Python capped_conv_surfaces model over the sf0.001 mentions."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import PR_TYPES
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        detect_mentions_arrow,
+    )
+    from kie_invoice_minimal_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    per_conv = defaultdict(Counter)
+    for r in detect_mentions_arrow(
+        transcripts_from_documents(spark, SF)
+    ).collect():
+        if r.mention_type in PR_TYPES:
+            per_conv[r.conv_id][r.surface] += 1
+    return {
+        conv: [
+            s
+            for s, _n in sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:cap]
+        ]
+        for conv, cnt in per_conv.items()
+    }
+
+
+def test_edge_lift_matches_python_reference(spark):
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        COMENTION_CAP,
+        LIFT_Q,
+        kg_edge_lift,
+    )
+
+    kept = _capped_surfaces(spark, COMENTION_CAP)
+    n_conv = len(kept)
+    c_s = Counter()
+    w = Counter()
+    for surfaces in kept.values():
+        for a in surfaces:
+            c_s[a] += 1
+            for b in surfaces:
+                if a != b:
+                    w[(a, b)] += 1
+    expect = {
+        (a, b): (cnt, (cnt * n_conv * LIFT_Q) // (c_s[a] * c_s[b]))
+        for (a, b), cnt in w.items()
+    }
+    got = {
+        (r.src, r.dst): (r.w, r.lift_ppm)
+        for r in kg_edge_lift(spark, SF).collect()
+    }
+    assert got == expect and len(got) > 0
+    # lift must actually discriminate on the fixture (not all-equal)
+    assert len({v[1] for v in got.values()}) > 1
+
+
+def test_kcore_matches_python_reference_and_binds(spark):
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        COMENTION_CAP,
+        KCORE_K,
+        KCORE_PEELS,
+        kg_kcore,
+    )
+
+    kept = _capped_surfaces(spark, COMENTION_CAP)
+    edges = set()
+    for surfaces in kept.values():
+        for a in surfaces:
+            for b in surfaces:
+                if a != b:
+                    edges.add((a, b))
+    expect = []
+    cur = edges
+    for i in range(1, KCORE_PEELS + 1):
+        deg = Counter(a for a, _b in cur)
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+        expect.append((i, len({a for a, _b in cur}), len(cur)))
+    got = sorted(
+        (r.peel, r.n_nodes, r.n_edges) for r in kg_kcore(spark, SF).collect()
+    )
+    assert got == expect
+    # the peel must BIND on the fixture: every consecutive round shrinks
+    # until empty, so the test exercises more than the nothing-to-peel path
+    sizes = [n for _i, n, _e in got]
+    assert sizes[0] < len({a for a, _b in edges})
+    assert all(b < a for a, b in zip(sizes, sizes[1:]) if a > 0)

@@ -329,3 +329,119 @@ def test_foreachbatch_restart_resumes_without_duplicates(spark, tmp_path):
     )
     assert len(got) > n_first  # the restart actually processed new files
     assert got == want  # exactly-once across the restart
+
+
+def test_streaming_novel_facts_exactly_once_across_restart(spark, tmp_path):
+    """Streaming twin of kg_triples_incremental: finalized session triples
+    are fact-fingerprinted (md5(pred, obj)) and anti-joined against the
+    persistent on-disk fact index, so a fact is emitted EXACTLY ONCE
+    across micro-batches AND across a kill/restart.  Wave 2 re-asserts
+    wave 1's facts from brand-new conversations; every one of them must
+    be suppressed by the index built in wave 1's epochs."""
+    import hashlib
+
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        detect_mentions_native,
+    )
+    from kie_invoice_minimal_spark.streaming.stream_pipeline import (
+        run_novel_facts_to_parquet,
+    )
+
+    in_dir = str(tmp_path / "in_nf")
+    out_dir = str(tmp_path / "out_nf")
+    idx_dir = str(tmp_path / "idx_nf")
+    ckpt = str(tmp_path / "ckpt_nf")
+
+    def kicker(conv, ts, n=2):
+        for i in range(n):
+            spark.createDataFrame(
+                [(conv, i, "user", "thuong hieu VinaMilk", None, ts)],
+                "conv_id string, turn_idx int, role string, text string,"
+                " tool string, ts string",
+            ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+                "append"
+            ).parquet(in_dir)
+
+    t1 = synth_transcripts(spark, 300)
+    t1.write.mode("append").parquet(in_dir)
+    q1 = run_novel_facts_to_parquet(spark, in_dir, out_dir, idx_dir, ckpt)
+    try:
+        q1.processAllAvailable()
+        kicker("conv-kick-a", "2024-01-15 00:00:00")  # closes wave-1 sessions
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # wave 2 while DOWN: new conv ids, same facts, later event time
+    t2 = t1.withColumn(
+        "conv_id", F.concat(F.lit("w2-"), F.col("conv_id"))
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    t2.write.mode("append").parquet(in_dir)
+    q2 = run_novel_facts_to_parquet(spark, in_dir, out_dir, idx_dir, ckpt)
+    try:
+        q2.processAllAvailable()
+        kicker("conv-kick-b", "2024-06-01 00:00:00")  # closes wave-2 + kick-a
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(out_dir).collect()
+    facts = [(r.pred, r.obj) for r in got]
+    # exactly-once: no fact ever emitted twice, in any epoch of any run
+    assert len(facts) == len(set(facts)) and len(facts) > 0
+
+    # the emitted fact set == distinct facts of every CLOSED session
+    # (wave 1 + kick-a + wave 2; conv-kick-b's session never closes);
+    # session-window batch recompute, same shape as the streaming agg
+    closed = t1.unionByName(
+        spark.createDataFrame(
+            [
+                ("conv-kick-a", 0, "user", "thuong hieu VinaMilk", None,
+                 "2024-01-15 00:00:00"),
+                ("conv-kick-a", 1, "user", "thuong hieu VinaMilk", None,
+                 "2024-01-15 00:00:00"),
+            ],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ).unionByName(t2)
+    m = detect_mentions_native(
+        closed.select("conv_id", "turn_idx", "text", "ts"), carry=("ts",)
+    )
+    want = {
+        (r.mention_type, r.obj)
+        for r in m.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"),
+            "conv_id",
+            "mention_type",
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "pos", "surface"))
+                    ),
+                    lambda s: s["surface"],
+                ),
+                " ",
+            ).alias("obj")
+        )
+        .select(F.col("mention_type"), "obj")
+        .collect()
+    }
+    assert set(facts) == want
+
+    # wave 2 actually exercised cross-epoch suppression: its sessions
+    # re-asserted only known facts, so the restart run emitted nothing new
+    w2_rows = [r for r in got if r.conv_id.startswith("w2-")]
+    assert not w2_rows
+
+    # and the index carries exactly one fp per emitted fact
+    idx = spark.read.parquet(idx_dir).select("fp").collect()
+    def fact_fp(p, o):
+        return int(
+            hashlib.md5(f"{p}\x01{o}".encode()).hexdigest()[:15], 16
+        )
+    assert sorted(r.fp for r in idx) == sorted(
+        fact_fp(p, o) for p, o in facts
+    )
