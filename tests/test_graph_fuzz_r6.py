@@ -69,3 +69,84 @@ def test_capped_edge_generation_sql_equals_python_model(pairs):
         for r in con.execute(f"WITH {cte} SELECT src, dst, w FROM e").fetchall()
     }
     assert got == _python_capped_edges(pairs, CONV_CAP)
+
+
+def _python_kcore_rows(edges, k, peels):
+    cur = set(edges)
+    out = []
+    for i in range(1, peels + 1):
+        deg = Counter(a for a, _b in cur)
+        keep = {n for n, d in deg.items() if d >= k}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+        out.append((i, len({a for a, _b in cur}), len(cur)))
+    return out
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(MENTION, min_size=0, max_size=50))
+def test_kcore_peel_sql_equals_python_model(pairs):
+    """The unrolled MATERIALIZED-CTE peel must equal a direct pure-Python
+    peel of the documented semantics on ARBITRARY co-mention graphs, with
+    k tiny so peeling BINDS on random inputs (k=2 over a ≤7-surface pool
+    produces full spectra: nothing peeled, partial, total collapse)."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import kcore_sql
+
+    con = duckdb.connect()
+    con.register("fuzz_mentions_pdf", _mentions_pdf(pairs))
+    sql = kcore_sql(
+        "SELECT conv_id, surface, mention_type FROM fuzz_mentions_pdf",
+        k=2,
+        peels=3,
+    )
+    got = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    edges = set(
+        _python_capped_edges(pairs, 32)
+    )  # cap 32 >> pool size: pairing, not capping, under test here
+    assert got == _python_kcore_rows(edges, 2, 3)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(MENTION, min_size=1, max_size=50))
+def test_edge_lift_sql_equals_python_model(pairs):
+    """Integer lift over arbitrary capped co-mention graphs: the DuckDB
+    twin must equal (w · n_conv · 1e6) // (c_src · c_dst) computed
+    directly from the pure-Python capped-edge model."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        LIFT_Q,
+        edge_lift_sql,
+    )
+
+    con = duckdb.connect()
+    con.register("fuzz_mentions_pdf", _mentions_pdf(pairs))
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            edge_lift_sql(
+                "SELECT conv_id, surface, mention_type FROM fuzz_mentions_pdf"
+            )
+        ).fetchall()
+    }
+    per_conv = defaultdict(Counter)
+    for c, s in pairs:
+        per_conv[f"c{c}"][s] += 1
+    kept = {
+        conv: [
+            s
+            for s, _n in sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:32]
+        ]
+        for conv, cnt in per_conv.items()
+    }
+    n_conv = len(kept)
+    c_s = Counter()
+    w = Counter()
+    for surfaces in kept.values():
+        for a in surfaces:
+            c_s[a] += 1
+            for b in surfaces:
+                if a != b:
+                    w[(a, b)] += 1
+    expect = {
+        (a, b): (cnt, (cnt * n_conv * LIFT_Q) // (c_s[a] * c_s[b]))
+        for (a, b), cnt in w.items()
+    }
+    assert got == expect
