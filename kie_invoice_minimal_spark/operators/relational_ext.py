@@ -7,7 +7,7 @@ conversation crop/trim (P8), and a ROLLUP metrics table (§2.9).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rules import ALPHABET, NODE_LABELS
@@ -1709,4 +1709,68 @@ SELECT event_type, hour_us, n_events,
             WHEN (num * num * 1000000) // den >= {EV_Z2_THS_PPM} THEN 1
             ELSE 0 END AS INTEGER) AS is_anomaly
 FROM j
+"""
+
+
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n, p_ppm): the event-type TRANSITION MATRIX —
+    per user, consecutive event pairs ordered by (ts, event_id), rolled
+    into transition counts and row-normalized probabilities in exact
+    integer ppm.  The Markov-chain view of the event stream: which step
+    follows which, the input to next-event prediction, funnel design and
+    anomalous-sequence detection (a transition whose observed share
+    collapses release-over-release).
+
+    Determinism: the lead() ordering carries event_id as the tiebreak —
+    equal timestamps are possible and would otherwise make the successor
+    engine-dependent.  p_ppm = (n · 1e6) DIV row_total via DECIMAL(38,0)
+    (HUGEINT twin): n is corpus-sized at 100 TB, and n·1e6 sits one
+    decimal order under the int64 wrap — the overflow class ADVICE r5
+    item 1 flagged, closed pre-emptively here.
+
+    Shape: ONE shuffle on user_id for the per-user window (per-user
+    sequences are bounded), then two aggregations over a table bounded
+    by |event_types|² — 25 rows on the fixture, tiny at any corpus
+    scale.  Reference analog: the label-sequence statistics in
+    scripts/evaluate.py:90-103 (confusion row-normalization)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) DIV tot AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+
+
+EV_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+totals AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       CAST((CAST(c.n AS HUGEINT) * 1000000) // t.tot AS BIGINT) AS p_ppm
+FROM counts c JOIN totals t USING (from_type)
 """

@@ -68,6 +68,7 @@ def test_certification_window_holds_round6_critical_entries():
         "kg_canonical_pagerank_derive", "mm_payload_dedup",
         "mm_frame_hash_dedup", "kg_degree_distribution",
         "kg_triples_incremental", "kg_edge_lift", "kg_kcore",
+        "kg_communities", "ev_markov_transitions",
         # the final nine r03-stale entries (rotation debt paid this round)
         "anti_join_no_orders", "outer_join_order_counts",
         "ta_mixture_weights", "g6_stratified_split",

@@ -150,3 +150,61 @@ def test_edge_lift_sql_equals_python_model(pairs):
         for (a, b), cnt in w.items()
     }
     assert got == expect
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(MENTION, min_size=1, max_size=50))
+def test_communities_sql_equals_python_model(pairs):
+    """The full community oracle chain (capped edges → integer lift →
+    prune at lift ≥ 1 → 2 unrolled LPA rounds) vs a direct pure-Python
+    implementation on arbitrary mention multisets."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        LIFT_Q,
+        LPA_ITERS,
+        LPA_PRUNE_PPM,
+        communities_sql,
+    )
+
+    con = duckdb.connect()
+    con.register("fuzz_mentions_pdf", _mentions_pdf(pairs))
+    got = dict(
+        con.execute(
+            communities_sql(
+                "SELECT conv_id, surface, mention_type FROM fuzz_mentions_pdf"
+            )
+        ).fetchall()
+    )
+    per_conv = defaultdict(Counter)
+    for c, s in pairs:
+        per_conv[f"c{c}"][s] += 1
+    kept = {
+        conv: [
+            s
+            for s, _n in sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:32]
+        ]
+        for conv, cnt in per_conv.items()
+    }
+    n_conv = len(kept)
+    c_s = Counter()
+    w = Counter()
+    for surfaces in kept.values():
+        for a in surfaces:
+            c_s[a] += 1
+            for b in surfaces:
+                if a != b:
+                    w[(a, b)] += 1
+    adj = defaultdict(list)
+    for (a, b), cnt in w.items():
+        if (cnt * n_conv * LIFT_Q) // (c_s[a] * c_s[b]) >= LPA_PRUNE_PPM:
+            adj[a].append((b, cnt))
+    lbl = {n: n for n in adj}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for v, nbrs in adj.items():
+            sc = defaultdict(int)
+            for d, cnt in nbrs:
+                sc[lbl[d]] += cnt
+            mw = max(sc.values())
+            new[v] = min(l for l, s in sc.items() if s == mw)
+        lbl = new
+    assert got == lbl

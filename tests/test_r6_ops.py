@@ -231,3 +231,85 @@ def test_kcore_matches_python_reference_and_binds(spark):
     sizes = [n for _i, n, _e in got]
     assert sizes[0] < len({a for a, _b in edges})
     assert all(b < a for a, b in zip(sizes, sizes[1:]) if a > 0)
+
+
+def test_communities_matches_python_reference_and_discriminates(spark):
+    """Lift-pruned LPA vs a direct pure-Python implementation of the
+    documented semantics; the result must form REAL structure (more than
+    one community, fewer communities than nodes)."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        COMENTION_CAP,
+        LIFT_Q,
+        LPA_ITERS,
+        LPA_PRUNE_PPM,
+        kg_communities,
+    )
+
+    kept = _capped_surfaces(spark, COMENTION_CAP)
+    n_conv = len(kept)
+    c_s = Counter()
+    w = Counter()
+    for surfaces in kept.values():
+        for a in surfaces:
+            c_s[a] += 1
+            for b in surfaces:
+                if a != b:
+                    w[(a, b)] += 1
+    pe = {
+        (a, b): cnt
+        for (a, b), cnt in w.items()
+        if (cnt * n_conv * LIFT_Q) // (c_s[a] * c_s[b]) >= LPA_PRUNE_PPM
+    }
+    adj = defaultdict(list)
+    for (a, b), cnt in pe.items():
+        adj[a].append((b, cnt))
+    lbl = {n: n for n in adj}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for v, nbrs in adj.items():
+            sc = defaultdict(int)
+            for d, cnt in nbrs:
+                sc[lbl[d]] += cnt
+            mw = max(sc.values())
+            new[v] = min(l for l, s in sc.items() if s == mw)
+        lbl = new
+    got = {
+        r.surface: r.community for r in kg_communities(spark, SF).collect()
+    }
+    assert got == lbl
+    n_comm = len(set(got.values()))
+    assert 1 < n_comm < len(got)
+
+
+def test_markov_transitions_matches_python_reference(spark):
+    from kie_invoice_minimal_spark.operators.relational_ext import (
+        ev_markov_transitions,
+    )
+
+    rows = sorted(
+        (r.user_id, r.ts, r.event_id, r.event_type)
+        for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+    )
+    per_user = defaultdict(list)
+    for uid, ts, eid, et in rows:
+        per_user[uid].append(et)  # rows pre-sorted by (user, ts, event_id)
+    n = Counter()
+    for seq in per_user.values():
+        for a, b in zip(seq, seq[1:]):
+            n[(a, b)] += 1
+    tot = Counter()
+    for (a, _b), c in n.items():
+        tot[a] += c
+    expect = {
+        (a, b): (c, (c * 1_000_000) // tot[a]) for (a, b), c in n.items()
+    }
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p_ppm)
+        for r in ev_markov_transitions(spark, SF).collect()
+    }
+    assert got == expect and len(got) > 1
+    # row-normalization sanity: each from-row's probabilities sum to ~1e6
+    sums = defaultdict(int)
+    for (a, _b), (_c, p) in got.items():
+        sums[a] += p
+    assert all(1_000_000 - 25 <= s <= 1_000_000 for s in sums.values())
