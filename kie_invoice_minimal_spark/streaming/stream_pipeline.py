@@ -212,18 +212,26 @@ def run_novel_facts_to_parquet(
     t = streaming_triples(read_transcript_stream(spark, input_dir), gap=gap)
 
     def sink(batch_df, epoch_id: int) -> None:
+        import os
+
         b = (
             batch_df.withColumn(
                 "fp", mdhash_spark(F.concat_ws("\x01", "pred", "obj"))
             )
             .dropDuplicates(["fp"])
         )
-        try:
+        # missing-dir probe, not a broad except: a corrupt/unreadable
+        # index must FAIL the epoch (retried with the same epoch_id, so
+        # exactly-once holds) — swallowing it as "no index yet" would
+        # silently re-emit every previously-seen fact as novel.  Local-FS
+        # probe; on an object store the index is an Iceberg table (see
+        # docstring) and existence is the catalog's problem
+        if os.path.isdir(index_dir):
             idx = spark.read.parquet(index_dir).filter(
                 F.col("epoch") < F.lit(epoch_id)
             )
             novel = b.join(idx, "fp", "left_anti")
-        except Exception:  # first epoch: no index yet
+        else:  # first epoch: no index yet
             novel = b
         novel.persist()
         novel.select("subj", "pred", "obj", "conv_id").write.mode(
