@@ -1,0 +1,81 @@
+"""Round-6 edge probes: every operator added in round 6 must survive a
+degenerate corpus (zero-row tables) with the semantically-correct
+empty/zero output — same discipline as test_edge_cases_r3/r4/r5."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("empty_sf_r6"))
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(root, "documents.parquet"))
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(root, "events.parquet"))
+    return root
+
+
+def test_r6_graph_ops_on_empty_corpus(spark, empty_sf):
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        KCORE_PEELS,
+        kg_communities,
+        kg_degree_distribution,
+        kg_edge_lift,
+        kg_kcore,
+    )
+
+    assert kg_degree_distribution(spark, empty_sf).count() == 0
+    assert kg_edge_lift(spark, empty_sf).count() == 0
+    assert kg_communities(spark, empty_sf).count() == 0
+    # the peel monitor still reports one row per round — all zero
+    rows = sorted(
+        (r.peel, r.n_nodes, r.n_edges) for r in kg_kcore(spark, empty_sf).collect()
+    )
+    assert rows == [(i, 0, 0) for i in range(1, KCORE_PEELS + 1)]
+
+
+def test_r6_pipeline_ops_on_empty_corpus(spark, empty_sf):
+    from kie_invoice_minimal_spark.operators.multimodal import (
+        mm_frame_hash_dedup,
+    )
+    from kie_invoice_minimal_spark.operators.relational_ext import (
+        ev_markov_transitions,
+    )
+    from kie_invoice_minimal_spark.operators.triples import (
+        kg_triples_incremental,
+    )
+
+    assert kg_triples_incremental(spark, empty_sf).count() == 0
+    assert mm_frame_hash_dedup(spark, empty_sf).count() == 0
+    assert ev_markov_transitions(spark, empty_sf).count() == 0
+
+
+def test_markov_single_event_user_emits_nothing(spark, tmp_path):
+    """A user with exactly one event has no transition — lead() must not
+    fabricate a pair."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kie_invoice_minimal_spark.operators.relational_ext import (
+        ev_markov_transitions,
+    )
+
+    root = str(tmp_path / "one_event")
+    spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+         (1, "2024-01-01 00:00:01", 2, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+        os.path.join(root, "events.parquet")
+    )
+    assert ev_markov_transitions(spark, root).count() == 0
