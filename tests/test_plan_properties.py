@@ -101,7 +101,16 @@ def test_pagerank_has_no_single_partition_window(spark):
     empty partition spec prints as windowspecdefinition(<sort col> ASC/
     DESC ..., frame) — the first argument already carries a sort
     direction; a partitioned window leads with bare partition columns."""
-    for name in ("kg_entity_pagerank", "kg_canonical_pagerank"):
+    for name in (
+        "kg_entity_pagerank",
+        "kg_canonical_pagerank",
+        # r6 graph additions: all their windows (the capped-surface top-N)
+        # must stay conversation-partitioned
+        "kg_degree_distribution",
+        "kg_edge_lift",
+        "kg_kcore",
+        "kg_communities",
+    ):
         plan = _plan(entrymod.queries()[name](spark, SF))
         hit = re.search(r"windowspecdefinition\([^,()]+ (?:ASC|DESC)", plan)
         assert not hit, f"{name} has a global-sort window: {hit.group(0)}"
