@@ -236,7 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_native": _kg_triples_native,
         "kg_mentions": _kg_mentions,
         "kg_mentions_merged": _kg_mentions_merged,
-        # 5-15: changed or new in round 6 (need fresh certification)
+        # 5-22: changed or new in round 6 (need fresh certification)
         "kg_entity_pagerank": GA.kg_entity_pagerank,  # r6: cap + 2-phase rank
         "kg_canonical_pagerank": GA.kg_canonical_pagerank,  # r6: same
         "kg_canonical_pagerank_staged": _kg_canonical_pagerank_staged,  # r6: same

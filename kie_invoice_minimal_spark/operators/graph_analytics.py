@@ -85,13 +85,10 @@ def capped_conv_surfaces(mentions: DataFrame, cap: int = COMENTION_CAP) -> DataF
     )
 
 
-def comention_edges(mentions: DataFrame) -> DataFrame:
-    """(src, dst, w): surfaces co-mentioned in the same conversation; w =
-    number of conversations.  Symmetric by construction (both directions
-    emitted).  Edge generation pairs each conversation's CAPPED distinct
-    surfaces (capped_conv_surfaces — top-COMENTION_CAP by mention count),
-    so the intermediate is O(conversations · cap²), hub-proof."""
-    cs = capped_conv_surfaces(mentions)
+def _pair_edges(cs: DataFrame) -> DataFrame:
+    """(src, dst, w) from a (conv_id, surface) table: the one pairing
+    join, shared by comention_edges and lifted_edges so the two paths
+    (and their common DuckDB twin in _graph_cte) cannot drift."""
     a, b = cs.alias("a"), cs.alias("b")
     return (
         a.join(b, "conv_id")
@@ -101,6 +98,15 @@ def comention_edges(mentions: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("w"))
     )
+
+
+def comention_edges(mentions: DataFrame) -> DataFrame:
+    """(src, dst, w): surfaces co-mentioned in the same conversation; w =
+    number of conversations.  Symmetric by construction (both directions
+    emitted).  Edge generation pairs each conversation's CAPPED distinct
+    surfaces (capped_conv_surfaces — top-COMENTION_CAP by mention count),
+    so the intermediate is O(conversations · cap²), hub-proof."""
+    return _pair_edges(capped_conv_surfaces(mentions))
 
 
 def _graph_cte(mentions_sql: str, cap: int = COMENTION_CAP) -> str:
@@ -1062,15 +1068,7 @@ def lifted_edges(mentions: DataFrame) -> DataFrame:
     integer lift — shared by kg_edge_lift (the raw scores) and
     kg_communities (the lift-pruned propagation graph)."""
     cs = capped_conv_surfaces(mentions).localCheckpoint()
-    a, b = cs.alias("a"), cs.alias("b")
-    e = (
-        a.join(b, "conv_id")
-        .filter(F.col("a.surface") != F.col("b.surface"))
-        .groupBy(
-            F.col("a.surface").alias("src"), F.col("b.surface").alias("dst")
-        )
-        .agg(F.count("*").cast("long").alias("w"))
-    )
+    e = _pair_edges(cs)
     sc = cs.groupBy("surface").agg(F.count("*").cast("long").alias("c_s"))
     tot = cs.agg(F.countDistinct("conv_id").cast("long").alias("n_conv"))
     return (

@@ -967,8 +967,13 @@ def ta_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
+            # the INNER product is widened too: n_docs·1e6 wraps int64 at
+            # n_docs ~9.2e12 — Spark would wrap silently while the
+            # HUGEINT twin errors, the same divergence class as the
+            # outer product (residual instance closed in r6)
             F.expr(
-                f"CAST((CAST(tf AS DECIMAL(38,0)) * ((n_docs * {TFIDF_Q}) DIV df))"
+                f"CAST((CAST(tf AS DECIMAL(38,0))"
+                f" * ((CAST(n_docs AS DECIMAL(38,0)) * {TFIDF_Q}) DIV df))"
                 " DIV n_docs AS BIGINT)"
             ).alias("tfidf_q"),
         )
@@ -998,7 +1003,8 @@ df_t AS (
 n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         CAST((CAST(tf.tf AS HUGEINT) * ((n.n_docs * {TFIDF_Q}) // df_t.df))
+         CAST((CAST(tf.tf AS HUGEINT)
+               * ((CAST(n.n_docs AS HUGEINT) * {TFIDF_Q}) // df_t.df))
               // n.n_docs AS BIGINT) AS tfidf_q
   FROM tf JOIN df_t USING (term) CROSS JOIN n
 )

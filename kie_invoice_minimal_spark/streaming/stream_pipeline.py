@@ -203,30 +203,66 @@ def run_novel_facts_to_parquet(
     each epoch so compaction/bucketing of the index under the same path
     is transparent; on a real deployment the index is an Iceberg table
     and the two writes are one MERGE transaction.  Intra-batch repeats
-    collapse with a per-batch dropDuplicates on fp (bounded by batch
-    size, not stream history — the unbounded-state dedup stays in the
-    index, which lives on disk, not in executor memory).
+    collapse with a per-batch DETERMINISTIC keeper on fp (min struct —
+    an arbitrary-survivor dropDuplicates would let a replayed epoch
+    overwrite its output with a different subj/conv_id row than the
+    attempt a consumer already read; CLAUDE.md's "deterministic
+    everywhere").  The keeper state is bounded by batch size, not stream
+    history — the unbounded-state dedup stays in the index, which lives
+    on disk, not in executor memory.
+
+    Known local-path limitation, stated rather than hand-waved: the
+    index grows one epoch directory per micro-batch and every batch
+    re-lists all of them — O(epochs) listing plus a small-file
+    accumulation on a long-running stream.  Safe in-sink compaction is
+    NOT possible with plain parquet directories (folding epochs < N into
+    any single dir breaks either the replay exclusion rule or the
+    read-while-overwrite safety; every ordering has a crash window that
+    loses fingerprints and re-emits old facts as novel), which is
+    precisely the transactionality an Iceberg MERGE/rewrite provides on
+    the production path.  The local shape is correct for test/dev
+    streams; bound its lifetime or compact offline while the query is
+    stopped.
     """
     from ..operators.text_analysis import mdhash_spark
 
     t = streaming_triples(read_transcript_stream(spark, input_dir), gap=gap)
 
-    def sink(batch_df, epoch_id: int) -> None:
+    def _index_has_data() -> bool:
+        """True iff some epoch partition holds a COMMITTED data file.  A
+        crash between creating index_dir/epoch=0/_temporary and the
+        parquet commit must read as "no index yet", not wedge every
+        retry of epoch 0 in an unreadable-schema crash loop; a corrupt
+        committed file still fails the epoch (retried idempotently)."""
         import os
 
+        try:
+            for d in os.listdir(index_dir):
+                if not d.startswith("epoch="):
+                    continue
+                sub = os.path.join(index_dir, d)
+                if os.path.isdir(sub) and any(
+                    not f.startswith(("_", ".")) for f in os.listdir(sub)
+                ):
+                    return True
+        except OSError:
+            return False
+        return False
+
+    def sink(batch_df, epoch_id: int) -> None:
         b = (
             batch_df.withColumn(
                 "fp", mdhash_spark(F.concat_ws("\x01", "pred", "obj"))
             )
-            .dropDuplicates(["fp"])
+            .groupBy("fp")
+            .agg(
+                F.min(
+                    F.struct("subj", "conv_id", "pred", "obj")
+                ).alias("r")
+            )
+            .select("fp", "r.subj", "r.pred", "r.obj", "r.conv_id")
         )
-        # missing-dir probe, not a broad except: a corrupt/unreadable
-        # index must FAIL the epoch (retried with the same epoch_id, so
-        # exactly-once holds) — swallowing it as "no index yet" would
-        # silently re-emit every previously-seen fact as novel.  Local-FS
-        # probe; on an object store the index is an Iceberg table (see
-        # docstring) and existence is the catalog's problem
-        if os.path.isdir(index_dir):
+        if _index_has_data():
             idx = spark.read.parquet(index_dir).filter(
                 F.col("epoch") < F.lit(epoch_id)
             )

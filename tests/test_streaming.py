@@ -445,3 +445,40 @@ def test_streaming_novel_facts_exactly_once_across_restart(spark, tmp_path):
     assert sorted(r.fp for r in idx) == sorted(
         fact_fp(p, o) for p, o in facts
     )
+
+
+def test_novel_facts_survives_torn_first_index_write(spark, tmp_path):
+    """Crash residue from a torn FIRST index write (the epoch dir exists
+    but holds only _temporary, no committed parquet) must read as "no
+    index yet" — before the committed-file probe this wedged every retry
+    of epoch 0 in an unreadable-schema crash loop."""
+    import os
+
+    from kie_invoice_minimal_spark.streaming.stream_pipeline import (
+        run_novel_facts_to_parquet,
+    )
+
+    in_dir = str(tmp_path / "in_torn")
+    out_dir = str(tmp_path / "out_torn")
+    idx_dir = str(tmp_path / "idx_torn")
+    ckpt = str(tmp_path / "ckpt_torn")
+    os.makedirs(os.path.join(idx_dir, "epoch=0", "_temporary"))
+
+    synth_transcripts(spark, 200).write.mode("append").parquet(in_dir)
+    q = run_novel_facts_to_parquet(spark, in_dir, out_dir, idx_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        for i in range(2):  # kicker x2 advances the watermark
+            spark.createDataFrame(
+                [("conv-kick", i, "user", "thuong hieu VinaMilk", None,
+                  "2024-06-01 00:00:00")],
+                "conv_id string, turn_idx int, role string, text string,"
+                " tool string, ts string",
+            ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+                "append"
+            ).parquet(in_dir)
+            q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    assert spark.read.parquet(out_dir).count() > 0
