@@ -930,24 +930,30 @@ def ta_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine-exact by construction: the classic log-idf would hinge
     on ln() ulp agreement (the same trap ta_ngram_lm_score documents), so
-    idf is the QUANTIZED INVERSE document frequency
-    ``idf_q = (N * 1e6) DIV df`` and
-    ``tfidf_q = (CAST(tf AS DECIMAL(38,0)) * idf_q) DIV N`` ≈ tf·1e6/df —
-    the r5 ADVICE overflow fix: the old pure-BIGINT ``tf * idf_q`` wraps
-    silently in Spark at corpus scale (rare term, tf ≳ 9e3) while DuckDB
-    errors — the exact divergence class ta_ngram_lm_score fixed; widening
-    the product to DECIMAL(38,0) (HUGEINT in DuckDB) and normalizing by N
-    makes the emitted value provably int64-bounded for ANY corpus
-    (overflow would need tf > 9.2e12 tokens in ONE document) while
-    preserving the tf·(N/df) ranking up to the coarser quantization
-    (x DIV N is monotone; quantization ties break deterministically).
-    Ties break (tfidf_q DESC, term ASC) so the top-3 is fully
+    the score is the quantized inverse-df weight computed DIRECTLY:
+    ``tfidf_q = (CAST(tf AS DECIMAL(38,0)) * 1e6) DIV df``.  History of
+    this expression (two rounds of overflow fixes, each honest about the
+    previous one's limit): the r4 pure-BIGINT ``tf * ((N*1e6) DIV df)``
+    wraps silently in Spark while DuckDB errors (r5 ADVICE item 1); the
+    first r6 fix widened the OUTER product and normalized by N, but the
+    inner ``(N*1e6) DIV df`` still narrowed through Spark's IntegralDivide
+    — whose result type is always BIGINT even on DECIMAL operands — so at
+    N ≳ 9.2e12 the quotient wrapped anyway (review-verified: Spark emits a
+    negative score where the HUGEINT twin computes the correct value).
+    The closure is ALGEBRAIC: N cancels out of tf·((N·1e6)/df)/N, so the
+    direct form needs no 128-bit intermediate at all — the one product is
+    DECIMAL(38,0)-wide (HUGEINT in DuckDB), and the true quotient is
+    ≤ tf·1e6, int64-bounded for ANY corpus (overflow would need one
+    document to contain 9.2e12 occurrences of one term, i.e. a > 9 TB
+    document).  The old double-floored form differed from tf·1e6 DIV df
+    by at most quantization noise; the direct form IS the intended
+    quantity.  Ties break (tfidf_q DESC, term ASC) so the top-3 is fully
     deterministic.
 
     Shape at 100 TB: one explode → per-(doc, term) counts with map-side
     combine (one shuffle on (doc_id, term)); the df table is
     vocabulary-sized (groupBy term, map-side combined) and joins on the
-    term key; N is a broadcast 1-row aggregate; the final top-3 window
+    term key; the final top-3 window
     partitions by doc_id — group size is the document's distinct-term
     count, bounded by document length, so no hub risk.
 
@@ -960,23 +966,12 @@ def ta_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_t = toks.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
-    n_docs = d.select(F.count("*").cast("long").alias("n_docs"))
-    scored = (
-        tf.join(df_t, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            # the INNER product is widened too: n_docs·1e6 wraps int64 at
-            # n_docs ~9.2e12 — Spark would wrap silently while the
-            # HUGEINT twin errors, the same divergence class as the
-            # outer product (residual instance closed in r6)
-            F.expr(
-                f"CAST((CAST(tf AS DECIMAL(38,0))"
-                f" * ((CAST(n_docs AS DECIMAL(38,0)) * {TFIDF_Q}) DIV df))"
-                " DIV n_docs AS BIGINT)"
-            ).alias("tfidf_q"),
-        )
+    scored = tf.join(df_t, "term").select(
+        "doc_id",
+        "term",
+        F.expr(
+            f"CAST((CAST(tf AS DECIMAL(38,0)) * {TFIDF_Q}) DIV df AS BIGINT)"
+        ).alias("tfidf_q"),
     )
     from pyspark.sql import Window
 
@@ -1000,13 +995,11 @@ df_t AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df
   FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
 ),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         CAST((CAST(tf.tf AS HUGEINT)
-               * ((CAST(n.n_docs AS HUGEINT) * {TFIDF_Q}) // df_t.df))
-              // n.n_docs AS BIGINT) AS tfidf_q
-  FROM tf JOIN df_t USING (term) CROSS JOIN n
+         CAST((CAST(tf.tf AS HUGEINT) * {TFIDF_Q}) // df_t.df AS BIGINT)
+           AS tfidf_q
+  FROM tf JOIN df_t USING (term)
 )
 SELECT doc_id, term, tfidf_q, CAST(rank AS INTEGER) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id

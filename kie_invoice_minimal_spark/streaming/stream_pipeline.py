@@ -232,21 +232,29 @@ def run_novel_facts_to_parquet(
         """True iff some epoch partition holds a COMMITTED data file.  A
         crash between creating index_dir/epoch=0/_temporary and the
         parquet commit must read as "no index yet", not wedge every
-        retry of epoch 0 in an unreadable-schema crash loop; a corrupt
-        committed file still fails the epoch (retried idempotently)."""
+        retry of epoch 0 in an unreadable-schema crash loop.  ONLY
+        missing-path errors map to False — any other OSError (EIO,
+        EACCES, fd exhaustion) propagates so the epoch FAILS and retries
+        idempotently: swallowing it as "no index yet" would silently
+        re-emit every previously-seen fact as novel, the exact
+        contract break the probe exists to prevent.  A corrupt committed
+        file likewise still fails the epoch at read time."""
         import os
 
         try:
-            for d in os.listdir(index_dir):
-                if not d.startswith("epoch="):
-                    continue
-                sub = os.path.join(index_dir, d)
-                if os.path.isdir(sub) and any(
-                    not f.startswith(("_", ".")) for f in os.listdir(sub)
-                ):
-                    return True
-        except OSError:
+            entries = os.listdir(index_dir)
+        except FileNotFoundError:
             return False
+        for d in entries:
+            if not d.startswith("epoch="):
+                continue
+            sub = os.path.join(index_dir, d)
+            try:
+                names = os.listdir(sub)
+            except (FileNotFoundError, NotADirectoryError):
+                continue  # this epoch dir vanished mid-scan; keep looking
+            if any(not f.startswith(("_", ".")) for f in names):
+                return True
         return False
 
     def sink(batch_df, epoch_id: int) -> None:

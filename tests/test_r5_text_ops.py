@@ -34,13 +34,12 @@ def test_tfidf_topk_matches_python_reference(spark):
     expect = {}
     for doc_id, toks in docs.items():
         tf = Counter(toks)
-        # r6 quantization: (tf * idf_q) // n_docs with a wide intermediate
-        # (Python ints are unbounded, matching the DECIMAL/HUGEINT widening)
+        # r6 final quantization: tf·1e6 // df directly — n_docs cancels
+        # algebraically, which is what makes the engine expression
+        # int64-bounded without a 128-bit intermediate (see the
+        # operator docstring's two-round fix history)
         scored = sorted(
-            (
-                ((t * ((n_docs * TFIDF_Q) // df[term])) // n_docs, term)
-                for term, t in tf.items()
-            ),
+            ((t * TFIDF_Q // df[term], term) for term, t in tf.items()),
             key=lambda x: (-x[0], x[1]),
         )[:TFIDF_TOP_K]
         for rank, (q, term) in enumerate(scored, 1):
