@@ -117,6 +117,7 @@ def _el_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STAGED_ROOTS: set[str] = set()
+_STAGED_TOKEN: list[str] = []  # per-process random token, created lazily
 
 
 def _staged_root(sf_dir: str, kind: str = "el", wipe: bool = True) -> str:
@@ -125,10 +126,19 @@ def _staged_root(sf_dir: str, kind: str = "el", wipe: bool = True) -> str:
     The root embeds os.getpid() (r5 ADVICE item 2: the r5 version used a
     fixed predictable path, so two concurrent gate/bench processes on the
     same sf wiped each other's live snapshots mid-read, and a pre-planted
-    symlink at the path would be silently written through).  Deterministic
-    WITHIN a process — repeat invocations of the same (kind, sf) reuse one
-    root, bounding the footprint to one live copy — and every root is
-    rmtree'd at interpreter exit via atexit, so nothing leaks across runs.
+    symlink at the path would be silently written through) PLUS a
+    per-process uuid token (r6 ADVICE item 1: after a SIGKILL/OOM atexit
+    never runs, and PID REUSE could hand a later process the dead one's
+    pid — its kg_canonical_pagerank_derive (wipe=False) would then
+    silently resume from a stale snapshot root possibly built by an older
+    code version, skewing bench timings undetected; the uuid makes every
+    process's roots disjoint regardless of pid recycling, so a
+    wipe=False entry can only ever resume snapshots built by THIS
+    process).  Deterministic WITHIN a process — repeat invocations of the
+    same (kind, sf) reuse one root, bounding the footprint to one live
+    copy — and every root is rmtree'd at interpreter exit via atexit, so
+    nothing leaks across clean runs (crash leftovers are bounded by
+    /tmp's lifecycle and never resumed-from).
 
     ``wipe=True`` (the self-contained staged entries) clears the root at
     invocation start so the timing includes the snapshot build;
@@ -138,9 +148,15 @@ def _staged_root(sf_dir: str, kind: str = "el", wipe: bool = True) -> str:
     import os
     import shutil
     import tempfile
+    import uuid
 
+    if not _STAGED_TOKEN:
+        _STAGED_TOKEN.append(uuid.uuid4().hex[:8])
     safe = sf_dir.strip("/").replace("/", "_")
-    root = f"{tempfile.gettempdir()}/kie_staged_{kind}_{safe}_{os.getpid()}"
+    root = (
+        f"{tempfile.gettempdir()}/kie_staged_{kind}_{safe}"
+        f"_{os.getpid()}_{_STAGED_TOKEN[0]}"
+    )
     if wipe:
         shutil.rmtree(root, ignore_errors=True)
     if root not in _STAGED_ROOTS:
@@ -181,37 +197,28 @@ def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot holds
     exactly the first 50 entries in dict-iteration order (observed in
-    r01-r05).  Round-6 layout (109 entries total): positions 1-4 the
-    flagship kg_* four (entry() parity); 5-22 the operators changed or
-    added in round 6 (the comention-edge per-conversation entity cap +
-    two-phase scale-safe PageRank ranking, which re-plan EVERY
-    comention-graph consumer: kg_entity_pagerank, kg_canonical_pagerank,
-    kg_canonical_pagerank_staged, kg_triangle_counts, kg_khop_counts,
-    kg_khop_kmv, kg_common_neighbors, kg_export_neighbors; the
-    ta_tfidf_topk DECIMAL(38,0) overflow fix — r5 ADVICE item 1; and the
-    new kg_canonical_pagerank_derive / mm_payload_dedup /
-    mm_frame_hash_dedup / kg_degree_distribution /
-    kg_triples_incremental / kg_edge_lift / kg_kcore / kg_communities /
-    ev_markov_transitions); 23-31 the nine
-    entries whose last driver-green row dated r03 (anti_join_no_orders …
-    topk_orders_per_cust — the final tranche of the r4-started rotation:
-    after this round every registry entry has an r04+ driver row); 32-50
-    nineteen of the 37 entries last certified r04 (freshness rotation
-    continues; the remaining 18 r04-stale entries — mm_frame_sample,
-    r3_text_encode, e4_graph_norm,
-    a10_accuracy, o3_confusion_matrix,
-    o2_mention_output, p8_trim_conversations, rollup_doc_stats,
-    s2_json_props, s3_mapping_join, ta_mixture_sample,
-    ta_curate_corpus_v2, ss_topk_docs, el_entity_map,
-    ev_retention_cohorts, stats_linear_fit, dd_incremental,
-    ev_funnel_stages — rotate in round 7).  Everything past position 50
-    carries an r04/r05 driver-green row, is UNCHANGED this round, and
-    stays guarded by scripts/check_correctness.py (the local mimic of
-    the gate, which also rejects non-scalar output columns — the
-    divergence that let the r4 FAIL ship).  When adding a query that
-    needs certification, insert it INSIDE the first 50 and rotate a
-    certified, unchanged entry past 50 (tests/test_doc_counts.py pins
-    the window mechanically).
+    r01-r06).  Round-7 layout (110 entries total): positions 1-4 the
+    flagship kg_* four (entry() parity); 5-22 the EIGHTEEN entries whose
+    last driver-green row dated r04 (mm_frame_sample … ev_funnel_stages —
+    r6 verdict item 1: after this round no registry entry's certification
+    is older than r05); 23-37 the operators changed or added in round 7:
+    the THIRTEEN graph-family entries re-planned by the
+    capped_conv_surfaces common-path refund + the PageRank int64 headroom
+    guard (kg_entity_pagerank, kg_canonical_pagerank,
+    kg_canonical_pagerank_staged, kg_canonical_pagerank_derive,
+    kg_triangle_counts, kg_khop_counts, kg_khop_kmv, kg_common_neighbors,
+    kg_export_neighbors, kg_degree_distribution, kg_edge_lift, kg_kcore,
+    kg_communities), mm_frame_hash_dedup (offset-overflow guard — r6
+    ADVICE item 3), and the NEW mm_frame_minhash_pairs (near-dup frame
+    detection — r6 verdict item 5); 38-50 thirteen r05-certified entries
+    on freshness rotation (ta_doc_vectors … kg_mentions_rescan).
+    Everything past position 50 carries an r05/r06 driver-green row, is
+    UNCHANGED this round, and stays guarded by
+    scripts/check_correctness.py (the local mimic of the gate, which
+    also rejects non-scalar output columns — the divergence that let the
+    r4 FAIL ship).  When adding a query that needs certification, insert
+    it INSIDE the first 50 and rotate a certified, unchanged entry past
+    50 (tests/test_doc_counts.py pins the window mechanically).
 
     Contract note — el_levenshtein_pairs is BANDED-APPROXIMATE candidate
     generation, not exhaustive edit-distance: pairs must share a hash
@@ -236,26 +243,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_native": _kg_triples_native,
         "kg_mentions": _kg_mentions,
         "kg_mentions_merged": _kg_mentions_merged,
-        # 5-22: changed or new in round 6 (need fresh certification)
-        "kg_entity_pagerank": GA.kg_entity_pagerank,  # r6: cap + 2-phase rank
-        "kg_canonical_pagerank": GA.kg_canonical_pagerank,  # r6: same
-        "kg_canonical_pagerank_staged": _kg_canonical_pagerank_staged,  # r6: same
-        "kg_canonical_pagerank_derive": _kg_canonical_pagerank_derive,  # new r6
-        "kg_triangle_counts": GA.kg_triangle_counts,  # r6: comention cap
-        "kg_khop_counts": GA.kg_khop_counts,  # r6: comention cap
-        "kg_khop_kmv": GA.kg_khop_kmv,  # r6: comention cap
-        "kg_common_neighbors": GA.kg_common_neighbors,  # r6: comention cap
-        "kg_export_neighbors": GA.kg_export_neighbors,  # r6: comention cap
-        "ta_tfidf_topk": TA.ta_tfidf_topk,  # r6: DECIMAL overflow fix (ADVICE 1)
-        "mm_payload_dedup": MM.mm_payload_dedup,  # new r6 (binary-payload dedup)
-        "mm_frame_hash_dedup": MM.mm_frame_hash_dedup,  # new r6 (frame-level dedup)
-        "kg_degree_distribution": GA.kg_degree_distribution,  # new r6 (shape monitor)
-        "kg_triples_incremental": TR.kg_triples_incremental,  # new r6 (novel facts)
-        "kg_edge_lift": GA.kg_edge_lift,  # new r6 (edge-pruning lift scores)
-        "kg_kcore": GA.kg_kcore,  # new r6 (dense-backbone peel monitor)
-        "kg_communities": GA.kg_communities,  # new r6 (lift-pruned LPA)
-        "ev_markov_transitions": RX.ev_markov_transitions,  # new r6
-        # next nine: the final nine r03-stale entries (rotation debt paid)
+        # 5-22: the eighteen r04-stale entries (r6 verdict item 1 — after
+        # this round every registry entry is r05-or-fresher)
+        "mm_frame_sample": MM.mm_frame_sample,
+        "r3_text_encode": RX.r3_text_encode,
+        "e4_graph_norm": RX.e4_graph_norm,
+        "a10_accuracy": RX.a10_accuracy,
+        "o3_confusion_matrix": RX.o3_confusion_matrix,
+        "o2_mention_output": RX.o2_mention_output,
+        "p8_trim_conversations": RX.p8_trim_conversations,
+        "rollup_doc_stats": RX.rollup_doc_stats,
+        "s2_json_props": RX.s2_json_props,
+        "s3_mapping_join": RX.s3_mapping_join,
+        "ta_mixture_sample": TA.ta_mixture_sample,
+        "ta_curate_corpus_v2": TA.ta_curate_corpus_v2,
+        "ss_topk_docs": SS.ss_topk_docs,
+        "el_entity_map": _el_entity_map,
+        "ev_retention_cohorts": RX.ev_retention_cohorts,
+        "stats_linear_fit": RX.stats_linear_fit,
+        "dd_incremental": DD.dd_incremental,
+        "ev_funnel_stages": RX.ev_funnel_stages,
+        # 23-37: changed or new in round 7 (need fresh certification) —
+        # the capped_conv_surfaces common-path refund + PageRank headroom
+        # guard re-plan every comention-graph consumer; mm_frame_hash_dedup
+        # gained the offset-overflow guard; mm_frame_minhash_pairs is new
+        "kg_entity_pagerank": GA.kg_entity_pagerank,  # r7: cap refund + guard
+        "kg_canonical_pagerank": GA.kg_canonical_pagerank,  # r7: same
+        "kg_canonical_pagerank_staged": _kg_canonical_pagerank_staged,  # r7: same
+        "kg_canonical_pagerank_derive": _kg_canonical_pagerank_derive,  # r7: same
+        "kg_triangle_counts": GA.kg_triangle_counts,  # r7: cap refund
+        "kg_khop_counts": GA.kg_khop_counts,  # r7: cap refund
+        "kg_khop_kmv": GA.kg_khop_kmv,  # r7: cap refund
+        "kg_common_neighbors": GA.kg_common_neighbors,  # r7: cap refund
+        "kg_export_neighbors": GA.kg_export_neighbors,  # r7: cap refund
+        "kg_degree_distribution": GA.kg_degree_distribution,  # r7: cap refund
+        "kg_edge_lift": GA.kg_edge_lift,  # r7: cap refund
+        "kg_kcore": GA.kg_kcore,  # r7: cap refund
+        "kg_communities": GA.kg_communities,  # r7: cap refund
+        "mm_frame_hash_dedup": MM.mm_frame_hash_dedup,  # r7: offset guard
+        "mm_frame_minhash_pairs": MM.mm_frame_minhash_pairs,  # new r7
+        # 38-50: freshness rotation — r05-certified, unchanged
+        "ta_doc_vectors": TA.ta_doc_vectors,
+        "approx_stats": RX.approx_stats,
+        "ta_ngram_lm_score": TA.ta_ngram_lm_score,
+        "el_pipeline_staged": _el_pipeline_staged,
+        "ta_chunk_dedup": TA.ta_chunk_dedup,
+        "kg_entity_timeline": GA.kg_entity_timeline,
+        "kg_predicate_stats": GA.kg_predicate_stats,
+        "ev_windowed_anomaly": RX.ev_windowed_anomaly,
+        "kg_triples_canonical": _kg_triples_canonical,
+        "el_alias_triples": _el_alias_triples,
+        "el_levenshtein_pairs": RX.el_levenshtein_pairs,  # see contract note
+        "ss_ivf_ann": SS.ss_ivf_ann,
+        "kg_mentions_rescan": _kg_mentions_rescan,
+        # 51+: r05/r06 driver-green, unchanged in r7, guarded by the local
+        # gate.  The r06-certified block first (freshest — they rotate
+        # back in last), then the r05-certified tail.
+        "ta_tfidf_topk": TA.ta_tfidf_topk,
+        "mm_payload_dedup": MM.mm_payload_dedup,
+        "kg_triples_incremental": TR.kg_triples_incremental,
+        "ev_markov_transitions": RX.ev_markov_transitions,
         "anti_join_no_orders": RX.anti_join_no_orders,
         "outer_join_order_counts": RX.outer_join_order_counts,
         "ta_mixture_weights": TA.ta_mixture_weights,
@@ -265,7 +312,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_confusion_pivot": RX.o3_confusion_pivot,
         "unpivot_readout": RX.unpivot_readout,
         "topk_orders_per_cust": RX.topk_orders_per_cust,
-        # 25-50: certification refresh — last driver-green row r04
         "dd_exact": DD.dd_exact,
         "dd_simhash": DD.dd_simhash,
         "ss_topk_bruteforce": SS.ss_topk_bruteforce,
@@ -285,43 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_quality_score": TA.ta_quality_score,
         "ta_lang_id": TA.ta_lang_id,
         "ta_fingerprint": TA.ta_fingerprint,
-        # 51+: r04/r05 driver-green, unchanged in r6, guarded by the local
-        # gate.  First the 18 remaining r04-certified entries (round-7
-        # rotation; mm_frame_sample … p8_trim_conversations were displaced
-        # from the refresh window by the seven newest r6 operators), then
-        # the r05-certified tail.
-        "mm_frame_sample": MM.mm_frame_sample,
-        "r3_text_encode": RX.r3_text_encode,
-        "e4_graph_norm": RX.e4_graph_norm,
-        "a10_accuracy": RX.a10_accuracy,
-        "o3_confusion_matrix": RX.o3_confusion_matrix,
-        "o2_mention_output": RX.o2_mention_output,
-        "p8_trim_conversations": RX.p8_trim_conversations,
-        "rollup_doc_stats": RX.rollup_doc_stats,
-        "s2_json_props": RX.s2_json_props,
-        "s3_mapping_join": RX.s3_mapping_join,
-        "ta_mixture_sample": TA.ta_mixture_sample,
-        "ta_curate_corpus_v2": TA.ta_curate_corpus_v2,
-        "ss_topk_docs": SS.ss_topk_docs,
-        "el_entity_map": _el_entity_map,
-        "ev_retention_cohorts": RX.ev_retention_cohorts,
-        "stats_linear_fit": RX.stats_linear_fit,
-        "dd_incremental": DD.dd_incremental,
-        "ev_funnel_stages": RX.ev_funnel_stages,
-        "ta_doc_vectors": TA.ta_doc_vectors,
-        "approx_stats": RX.approx_stats,
-        "ta_ngram_lm_score": TA.ta_ngram_lm_score,
-        "el_pipeline_staged": _el_pipeline_staged,
-        "ta_chunk_dedup": TA.ta_chunk_dedup,
-        "kg_entity_timeline": GA.kg_entity_timeline,
-        "kg_predicate_stats": GA.kg_predicate_stats,
-        "ev_windowed_anomaly": RX.ev_windowed_anomaly,
         "dd_band_clusters": DD.dd_band_clusters,
-        "kg_triples_canonical": _kg_triples_canonical,
-        "el_alias_triples": _el_alias_triples,
-        "el_levenshtein_pairs": RX.el_levenshtein_pairs,  # see contract note
-        "ss_ivf_ann": SS.ss_ivf_ann,
-        "kg_mentions_rescan": _kg_mentions_rescan,
         "cc_event_pairs": _cc_event_pairs,
         "e2_band_self_join": R.e2_band_self_join,
         "dd_lsh_verified_dups": DD.dd_lsh_verified_dups,
@@ -394,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mm_payload_dedup": MM.MM_PAYLOAD_DEDUP_SQL,
         "mm_frame_hash_dedup": MM.MM_FRAME_HASH_DEDUP_SQL,
+        "mm_frame_minhash_pairs": MM.MM_FRAME_MINHASH_SQL,
         "kg_degree_distribution": GA.degree_distribution_sql(
             duckdb_oracle.mentions_sql()
         ),

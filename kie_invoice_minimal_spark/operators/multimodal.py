@@ -199,12 +199,24 @@ def mm_frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fi"),
         "text",
     )
+    # r6 ADVICE item 3: the frame offset fi*CHARS+1 is computed in BIGINT
+    # and only then cast to INT for substring's pos argument; for texts
+    # approaching Spark's 2^31-char string limit the bare CAST would wrap
+    # negative in non-ANSI Spark while DuckDB errors on cast overflow — a
+    # cross-engine divergence.  Both dialects now guard the cast
+    # identically (raise_error / error()), so an impossible-length text
+    # fails LOUDLY on both engines instead of diverging; below the bound
+    # (every real Spark string) values are unchanged.
+    _off_guard = (
+        f"CAST(CASE WHEN fi * {MM_FRAME_CHARS} + 1 <= 2147483647"
+        f" THEN fi * {MM_FRAME_CHARS} + 1"
+        f" ELSE CAST(raise_error('mm_frame_hash_dedup: frame offset exceeds"
+        f" INT32 range') AS BIGINT) END AS INT)"
+    )
     frames = fr.select(
         "doc_id",
         mdhash_spark(
-            F.expr(
-                f"substring(text, CAST(fi * {MM_FRAME_CHARS} + 1 AS INT), {MM_FRAME_CHARS})"
-            )
+            F.expr(f"substring(text, {_off_guard}, {MM_FRAME_CHARS})")
         ).alias("fp"),
     )
     nd = frames.groupBy("fp").agg(
@@ -235,8 +247,13 @@ def mm_frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mm_frame_hash_dedup_sql() -> str:
     from .text_analysis import MDHASH_SQL
 
+    # identical offset-overflow guard as the Spark side (see
+    # mm_frame_hash_dedup) — error() is DuckDB's raise_error twin
     fp = MDHASH_SQL(
-        f"substring(text, CAST(fi * {MM_FRAME_CHARS} + 1 AS INT), {MM_FRAME_CHARS})"
+        f"substring(text, CAST(CASE WHEN fi * {MM_FRAME_CHARS} + 1 <= 2147483647"
+        f" THEN fi * {MM_FRAME_CHARS} + 1"
+        f" ELSE error('mm_frame_hash_dedup: frame offset exceeds INT32 range')"
+        f" END AS INT), {MM_FRAME_CHARS})"
     )
     return f"""
 WITH fr AS (
@@ -264,3 +281,234 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 
 
 MM_FRAME_HASH_DEDUP_SQL = _mm_frame_hash_dedup_sql()
+
+
+# --- near-dup frame detection (MinHash/LSH over frame fingerprints) -----------------
+
+def _frame_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): the DISTINCT sampled-frame fingerprint set per doc —
+    the same framing/sampling/guarded-offset scheme as
+    mm_frame_hash_dedup (one definition would be ideal, but the two
+    operators explode different column sets; the constants and the fp
+    expression are shared so the schemes cannot drift).  Repartitioned
+    once on doc_id so the three consumers (signature agg + both verify
+    sides) share ONE exchange instead of re-running the explode+md5 scan
+    per branch — the dd_ngram_jaccard shared-exchange discipline."""
+    from .text_analysis import mdhash_spark
+
+    fr = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") > 0,
+                F.expr(
+                    f"sequence(CAST(0 AS BIGINT),"
+                    f" CAST((length(text) - 1) DIV {MM_FRAME_CHARS} AS BIGINT),"
+                    f" CAST({MM_FRAME_SAMPLE_STEP} AS BIGINT))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        ).alias("fi"),
+        "text",
+    )
+    off = (
+        f"CAST(CASE WHEN fi * {MM_FRAME_CHARS} + 1 <= 2147483647"
+        f" THEN fi * {MM_FRAME_CHARS} + 1"
+        f" ELSE CAST(raise_error('frame offset exceeds INT32 range')"
+        f" AS BIGINT) END AS INT)"
+    )
+    return (
+        fr.select(
+            "doc_id",
+            mdhash_spark(
+                F.expr(f"substring(text, {off}, {MM_FRAME_CHARS})")
+            ).alias("fp"),
+        )
+        .distinct()
+        .repartition("doc_id")
+    )
+
+
+def frame_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common_frames, jaccard_ppm): NEAR-duplicate asset
+    pairs by frame-set similarity (r6 verdict item 5) — the composition
+    mm_frame_hash_dedup's docstring gestures at: exact payload/frame
+    dedup catches byte-identical copies, while a RE-ENCODE (same visual
+    content, different container bytes) shares most frame fingerprints
+    without sharing a payload hash.  This is MinHash-over-frames: each
+    asset's distinct frame-fp set is MinHash-signed with the SAME
+    deterministic permutation family as the text dedup family
+    (dedup._MH_A/_MH_B/_MH_P — md5-portable, byte-identical in DuckDB),
+    banded into MINHASH_BANDS buckets, band-collisions become candidate
+    pairs, and every candidate is VERIFIED with the exact frame-set
+    Jaccard — the LSH→exact-verify cascade of dd_lsh_verified_dups, at
+    frame granularity.
+
+    Kept pairs satisfy J ≥ JACCARD_NUM/JACCARD_DEN via the exact integer
+    cross-multiplication (no float at the boundary);
+    jaccard_ppm = (n_common · 1e6) DIV (n_a + n_b − n_common).
+
+    Scale shape: frames travel as 60-bit fingerprints only; signatures
+    are K min-aggregates (map-side combined) per doc; the only
+    input-proportional join is the band-bucket self-join (the dd_minhash
+    shape — band caps/AQE skew handling apply); the verify join touches
+    candidate pairs × their frames, not all pairs.  Recall is the banded
+    LSH trade documented for dd_minhash_lsh_pairs: P(candidate) =
+    1−(1−J^r)^b, ≈0.98 at J=0.8 with 4 bands × 2 rows — re-encodes
+    (J near 1) are essentially never missed, pinned by the planted
+    re-encode fixture test.  Reference analog: D1's batched detector
+    reused at a second granularity, kie_utils.py:133-150."""
+    from .dedup import _MH_A, _MH_B, _MH_P, JACCARD_DEN, JACCARD_NUM, MINHASH_BANDS, MINHASH_K
+    from .text_analysis import mdhash_spark
+
+    frames = _frame_fps(docs)
+    nf = frames.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fr"))
+    sig = frames.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("fp") % _MH_P * _MH_A[i] + _MH_B[i]) % _MH_P
+            ).alias(f"mh_{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    r = MINHASH_K // MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        mdhash_spark(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh_{j}").cast("string")
+                                    for j in range(b * r, (b + 1) * r)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_no", "bd.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = frames.select(F.col("doc_id").alias("doc_a"), "fp")
+    fb = frames.select(F.col("doc_id").alias("doc_b"), "fp")
+    common = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "fp"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common_frames"))
+    )
+    na = nf.select(F.col("doc_id").alias("doc_a"), F.col("n_fr").alias("n_a"))
+    nb = nf.select(F.col("doc_id").alias("doc_b"), F.col("n_fr").alias("n_b"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("n_common_frames") * JACCARD_DEN
+            >= (F.col("n_a") + F.col("n_b") - F.col("n_common_frames"))
+            * JACCARD_NUM
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common_frames",
+            F.expr(
+                "CAST((n_common_frames * 1000000)"
+                " DIV (n_a + n_b - n_common_frames) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def mm_frame_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup frame detection over the documents fixture (see
+    frame_minhash_pairs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return frame_minhash_pairs(docs)
+
+
+def _mm_frame_minhash_sql() -> str:
+    from .dedup import _MH_A, _MH_B, _MH_P, JACCARD_DEN, JACCARD_NUM, MINHASH_BANDS, MINHASH_K
+    from .text_analysis import MDHASH_SQL
+
+    fp = MDHASH_SQL(
+        f"substring(text, CAST(CASE WHEN fi * {MM_FRAME_CHARS} + 1 <= 2147483647"
+        f" THEN fi * {MM_FRAME_CHARS} + 1"
+        f" ELSE error('frame offset exceeds INT32 range')"
+        f" END AS INT), {MM_FRAME_CHARS})"
+    )
+    r = MINHASH_K // MINHASH_BANDS
+    sig = ",\n         ".join(
+        f"min(((fp % {_MH_P}) * {_MH_A[i]} + {_MH_B[i]}) % {_MH_P}) AS mh_{i}"
+        for i in range(MINHASH_K)
+    )
+    band_structs = ", ".join(
+        "struct_pack(band_no := {b}, bkey := {k})".format(
+            b=b,
+            k=MDHASH_SQL(
+                "concat_ws(',', "
+                + ", ".join(
+                    f"CAST(mh_{j} AS VARCHAR)" for j in range(b * r, (b + 1) * r)
+                )
+                + ")"
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH fr AS (
+  SELECT doc_id,
+         unnest(range(0, ((length(text) - 1) // {MM_FRAME_CHARS}) + 1,
+                      {MM_FRAME_SAMPLE_STEP})) AS fi,
+         text
+  FROM documents WHERE length(text) > 0
+),
+frames AS (SELECT DISTINCT doc_id, {fp} AS fp FROM fr),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fr FROM frames GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id,
+         {sig}
+  FROM frames GROUP BY doc_id
+),
+bands AS (SELECT doc_id, unnest([{band_structs}]) AS bd FROM sigs),
+flat AS (SELECT doc_id, bd.band_no AS band_no, bd.bkey AS bkey FROM bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM flat a JOIN flat b
+    ON a.band_no = b.band_no AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common_frames
+  FROM cand c
+  JOIN frames fa ON fa.doc_id = c.doc_a
+  JOIN frames fb ON fb.doc_id = c.doc_b AND fb.fp = fa.fp
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT m.doc_a, m.doc_b, m.n_common_frames,
+       CAST((m.n_common_frames * 1000000)
+            // (na.n_fr + nb.n_fr - m.n_common_frames) AS BIGINT) AS jaccard_ppm
+FROM common m
+JOIN nf na ON na.doc_id = m.doc_a
+JOIN nf nb ON nb.doc_id = m.doc_b
+WHERE m.n_common_frames * {JACCARD_DEN}
+      >= (na.n_fr + nb.n_fr - m.n_common_frames) * {JACCARD_NUM}
+"""
+
+
+MM_FRAME_MINHASH_SQL = _mm_frame_minhash_sql()

@@ -47,33 +47,34 @@ def test_oracle_registry_is_consistent():
     assert set(qs) - set(os_) == set()
 
 
-def test_certification_window_holds_round6_critical_entries():
+def test_certification_window_holds_round7_critical_entries():
     """The driver snapshots exactly the first 50 queries() entries, so
-    every round-6 changed/new operator and the final r03-stale tranche
+    every round-7 changed/new operator and the r04-stale rotation tranche
     MUST sit inside positions 0-49 (see the queries() docstring).  This
     pins the ordering mechanically so a refactor cannot silently push a
     needs-certification entry past the cutoff."""
     names = list(entrymod.queries())
     first50 = set(names[:50])
     critical = {
-        # changed in round 6: comention-edge per-conversation cap +
-        # two-phase PageRank ranking re-plan every comention consumer
+        # changed in round 7: capped_conv_surfaces common-path refund +
+        # PageRank headroom guard re-plan every comention-graph consumer
         "kg_entity_pagerank", "kg_canonical_pagerank",
-        "kg_canonical_pagerank_staged", "kg_triangle_counts",
-        "kg_khop_counts", "kg_khop_kmv", "kg_common_neighbors",
-        "kg_export_neighbors",
-        # changed in round 6: DECIMAL(38,0) overflow fix (r5 ADVICE 1)
-        "ta_tfidf_topk",
-        # new in round 6
-        "kg_canonical_pagerank_derive", "mm_payload_dedup",
-        "mm_frame_hash_dedup", "kg_degree_distribution",
-        "kg_triples_incremental", "kg_edge_lift", "kg_kcore",
-        "kg_communities", "ev_markov_transitions",
-        # the final nine r03-stale entries (rotation debt paid this round)
-        "anti_join_no_orders", "outer_join_order_counts",
-        "ta_mixture_weights", "g6_stratified_split",
-        "p4_threshold_fallback", "interval_overlap_join",
-        "o3_confusion_pivot", "unpivot_readout", "topk_orders_per_cust",
+        "kg_canonical_pagerank_staged", "kg_canonical_pagerank_derive",
+        "kg_triangle_counts", "kg_khop_counts", "kg_khop_kmv",
+        "kg_common_neighbors", "kg_export_neighbors",
+        "kg_degree_distribution", "kg_edge_lift", "kg_kcore",
+        "kg_communities",
+        # changed in round 7: offset-overflow guard (r6 ADVICE item 3)
+        "mm_frame_hash_dedup",
+        # new in round 7: near-dup frame detection (r6 verdict item 5)
+        "mm_frame_minhash_pairs",
+        # the eighteen r04-stale entries (r6 verdict item 1)
+        "mm_frame_sample", "r3_text_encode", "e4_graph_norm",
+        "a10_accuracy", "o3_confusion_matrix", "o2_mention_output",
+        "p8_trim_conversations", "rollup_doc_stats", "s2_json_props",
+        "s3_mapping_join", "ta_mixture_sample", "ta_curate_corpus_v2",
+        "ss_topk_docs", "el_entity_map", "ev_retention_cohorts",
+        "stats_linear_fit", "dd_incremental", "ev_funnel_stages",
     }
     missing = critical - first50
     assert not missing, f"pushed past the 50-entry snapshot: {sorted(missing)}"

@@ -619,3 +619,96 @@ def test_predicate_stats_invariants(spark):
         top = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert r.top_surface == top[0]
         assert r.top_share_ppm == top[1] * PS_Q // r.n_mentions
+
+
+# --- round 7: int64 headroom guard + common-path cap refund -------------------------
+
+
+def test_pagerank_headroom_guard_trips_on_tiny_headroom(spark):
+    """r6 verdict item 2: a deliberately tiny headroom must FAIL the job
+    loudly (raise_error in-plan), never wrap silently — the red gate for
+    the N·SCALE int64 budget."""
+    import pytest
+
+    with pytest.raises(Exception, match="headroom exceeded"):
+        pagerank(_star_edges(spark), headroom=1000).collect()
+
+
+def test_pagerank_headroom_guard_visible_in_plan(spark):
+    """The guard must ride the iteration projections in the PHYSICAL plan
+    (one raise_error branch per guarded product), not live only in docs.
+    Audited on pagerank_scores — the final pagerank() plan segment starts
+    at _global_rank's localCheckpoint, which cuts the iteration lineage."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        pagerank_scores,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pagerank_scores(_star_edges(spark)).explain("formatted")
+    assert "raise_error" in buf.getvalue()
+
+
+def test_pagerank_headroom_guard_value_neutral(spark):
+    """Default headroom must not change a single output value vs a run
+    with unlimited-but-explicit headroom (the guard is a check, not a
+    transform)."""
+    a = sorted(tuple(r) for r in pagerank(_star_edges(spark)).collect())
+    b = sorted(
+        tuple(r)
+        for r in pagerank(_star_edges(spark), headroom=(1 << 63) - 1).collect()
+    )
+    assert a == b
+
+
+def test_capped_surfaces_common_path_has_no_windows(spark):
+    """r6 verdict item 3 (the cap-cost refund): when every conversation is
+    under the cap — true at every fixture SF — the two top-N windows must
+    be GONE from the plan (the scalar pre-agg bypasses them), not merely
+    cheap."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        capped_conv_surfaces,
+    )
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        detect_mentions_arrow,
+    )
+    from kie_invoice_minimal_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    m = detect_mentions_arrow(
+        transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        capped_conv_surfaces(m).explain("formatted")
+    assert "Window" not in buf.getvalue()
+
+
+def test_capped_surfaces_skew_path_still_windows_and_binds(spark):
+    """Above the cap the skew path (two-level salted top-N) must still
+    engage: same planted hot conversation as the r6 cap test, checked
+    against the refunded implementation."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        capped_conv_surfaces,
+    )
+
+    cap = 3
+    rows = [("hot", f"E{i:03d}", "NAME") for i in range(50)]
+    rows += [("hot", f"E{i:03d}", "NAME") for i in range(cap)]  # keepers
+    rows += [("cold", "X", "NAME"), ("cold", "Y", "NAME")]
+    m = spark.createDataFrame(
+        rows, "conv_id string, surface string, mention_type string"
+    )
+    kept = capped_conv_surfaces(m, cap=cap).collect()
+    by_conv = {}
+    for r in kept:
+        by_conv.setdefault(r.conv_id, set()).add(r.surface)
+    assert by_conv["hot"] == {f"E{i:03d}" for i in range(cap)}
+    assert by_conv["cold"] == {"X", "Y"}  # under-cap conv untouched
