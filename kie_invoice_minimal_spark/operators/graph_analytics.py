@@ -139,14 +139,21 @@ def _graph_cte(mentions_sql: str, cap: int = COMENTION_CAP) -> str:
     """Shared DuckDB CTE prefix (m, cm, cs, e) for every graph oracle —
     mirrors capped_conv_surfaces + comention_edges exactly (single-window
     top-cap per conversation; value-equal to the Spark side's two-level
-    salted selection)."""
+    salted selection).
+
+    Every level is AS MATERIALIZED (r7): DuckDB inlines plain CTEs, and
+    the pagerank/kcore/LPA oracles reference ``e`` from every unrolled
+    round — inlined, each round re-evaluated the whole mention extraction
+    (the sf0.001 pagerank oracle alone took 15 s; 0.2 s materialized).
+    Same hazard — and same fix — kcore_sql/communities_sql already
+    documented for their per-round CTEs; a hint only, values unchanged."""
     types = ", ".join(f"'{t}'" for t in PR_TYPES)
-    return f"""m AS ({mentions_sql}),
-cm AS (
+    return f"""m AS MATERIALIZED ({mentions_sql}),
+cm AS MATERIALIZED (
   SELECT conv_id, surface, CAST(count(*) AS BIGINT) AS cnt
   FROM m WHERE mention_type IN ({types}) GROUP BY conv_id, surface
 ),
-cs AS (
+cs AS MATERIALIZED (
   SELECT conv_id, surface FROM (
     SELECT conv_id, surface,
            row_number() OVER (PARTITION BY conv_id
@@ -154,7 +161,7 @@ cs AS (
     FROM cm
   ) WHERE rn <= {cap}
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT a.surface AS src, b.surface AS dst, CAST(count(*) AS BIGINT) AS w
   FROM cs a JOIN cs b ON a.conv_id = b.conv_id AND a.surface <> b.surface
   GROUP BY a.surface, b.surface
@@ -342,7 +349,7 @@ def pagerank_sql(mentions_sql: str, iters: int = PR_ITERS) -> str:
     unrolled as chained CTEs (pr0..prN) — no recursive CTE needed."""
     itcte = []
     for i in range(1, iters + 1):
-        itcte.append(f"""pr{i} AS (
+        itcte.append(f"""pr{i} AS MATERIALIZED (
   SELECT n.node,
          CAST({PR_BASE} + ({PR_DAMP_NUM} * COALESCE(s.insum, 0)) // {PR_DAMP_DEN}
               AS BIGINT) AS score
@@ -355,9 +362,9 @@ def pagerank_sql(mentions_sql: str, iters: int = PR_ITERS) -> str:
     chain = ",\n".join(itcte)
     return f"""
 WITH {_graph_cte(mentions_sql)},
-wout AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
-n AS (SELECT src AS node FROM wout),
-pr0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS score FROM n),
+wout AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+n AS MATERIALIZED (SELECT src AS node FROM wout),
+pr0 AS MATERIALIZED (SELECT node, CAST({PR_SCALE} AS BIGINT) AS score FROM n),
 {chain}
 SELECT node AS surface, score AS pagerank_q,
        CAST(row_number() OVER (ORDER BY score DESC, node) AS INTEGER) AS rank
