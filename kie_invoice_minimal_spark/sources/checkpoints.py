@@ -39,6 +39,43 @@ class Stage:
     fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
 
 
+_CODE_FP: list[str] = []  # per-process cache
+
+
+def engine_code_fingerprint() -> str:
+    """Deterministic md5 over the engine package's source bytes (sorted
+    relpath + contents of every .py under kie_invoice_minimal_spark/) —
+    the snapshot MANIFEST key (r6 ADVICE item 1): a resume must never
+    silently load snapshots built by a DIFFERENT code version (a stale
+    persistent root, a wipe=False derive path surviving a deploy), because
+    stage semantics may have changed while the parquet looks perfectly
+    healthy.  Computed once per process (~one read of the package
+    source); recorded in every stage state and required to MATCH on
+    resume — a mismatched (or missing, i.e. pre-manifest) fingerprint
+    makes the stage read as incomplete, so it recomputes under the
+    current code instead of resuming stale bytes."""
+    if _CODE_FP:
+        return _CODE_FP[0]
+    import hashlib
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.md5()
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, pkg_root)
+            h.update(rel.encode())
+            h.update(b"\0")
+            with open(path, "rb") as f:
+                h.update(f.read())
+            h.update(b"\0")
+    _CODE_FP.append(h.hexdigest())
+    return _CODE_FP[0]
+
+
 class CheckpointedPipeline:
     """Ordered stages with parquet snapshots and JSON state records."""
 
@@ -71,8 +108,15 @@ class CheckpointedPipeline:
             return None
 
     def is_complete(self, stage: str) -> bool:
+        """Complete AND built by THIS code version (see
+        engine_code_fingerprint) — a stale or pre-manifest snapshot reads
+        as incomplete and recomputes rather than resuming silently."""
         st = self.state(stage)
-        return bool(st and st.get("status") == "complete")
+        return bool(
+            st
+            and st.get("status") == "complete"
+            and st.get("code_fingerprint") == engine_code_fingerprint()
+        )
 
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._data_dir(stage))
@@ -124,6 +168,8 @@ class CheckpointedPipeline:
             "wall_verify_sec": round(time.time() - t_written, 3),
             "wall_sec": round(time.time() - t_start, 3),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            # resume manifest: stale-code snapshots must not resume
+            "code_fingerprint": engine_code_fingerprint(),
         }
         tmp = self._state_path(name) + ".tmp"
         with open(tmp, "w") as f:

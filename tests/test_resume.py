@@ -107,3 +107,40 @@ def test_observed_counter_in_state(spark, tmp_path):
     p.run()
     for m in p.metrics():
         assert m["n_rows_observed"] == m["n_rows"]
+
+
+def test_stale_code_fingerprint_forces_recompute(spark, tmp_path):
+    """r6 ADVICE item 1 (manifest half): a snapshot whose state record
+    carries a DIFFERENT code fingerprint — a persistent root surviving a
+    deploy — must read as incomplete and recompute under the current
+    code, reproducing identical output and re-stamping the manifest.  A
+    pre-manifest state record (no fingerprint key) is treated the same."""
+    import json
+    import os
+
+    from kie_invoice_minimal_spark.sources.checkpoints import (
+        engine_code_fingerprint,
+    )
+
+    root = str(tmp_path / "ckpt_fp")
+    p1 = kg_pipeline(spark, root, _provider(300))
+    golden = _triples(p1.run())
+    fp = engine_code_fingerprint()
+    assert all(m["code_fingerprint"] == fp for m in p1.metrics())
+
+    # tamper: pretend 'mentions' was built by an older code version
+    sp = os.path.join(root, "_pipeline_state", "mentions.json")
+    st = json.load(open(sp))
+    st["code_fingerprint"] = "deadbeef" * 4
+    json.dump(st, open(sp, "w"))
+    p2 = kg_pipeline(spark, root, _provider(300))
+    assert not p2.is_complete("mentions")  # stale -> not resumable
+    out = _triples(p2.run(resume=True))
+    assert out == golden
+    assert p2.state("mentions")["code_fingerprint"] == fp  # re-stamped
+
+    # pre-manifest record (missing key) is equally non-resumable
+    st = json.load(open(sp))
+    del st["code_fingerprint"]
+    json.dump(st, open(sp, "w"))
+    assert not kg_pipeline(spark, root, _provider(300)).is_complete("mentions")
