@@ -210,8 +210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kg_export_neighbors, kg_degree_distribution, kg_edge_lift, kg_kcore,
     kg_communities), mm_frame_hash_dedup (offset-overflow guard — r6
     ADVICE item 3), and the NEW mm_frame_minhash_pairs (near-dup frame
-    detection — r6 verdict item 5); 38-50 thirteen r05-certified entries
-    on freshness rotation (ta_doc_vectors … kg_mentions_rescan).
+    detection — r6 verdict item 5) and kg_conv_fanout (the cap-coverage
+    monitor closing the refund's observability loop); 39-50 twelve
+    r05-certified entries on freshness rotation (ta_doc_vectors …
+    ss_ivf_ann; kg_mentions_rescan yields its refresh slot to the new
+    operator and rotates in r8).
     Everything past position 50 carries an r05/r06 driver-green row, is
     UNCHANGED this round, and stays guarded by
     scripts/check_correctness.py (the local mimic of the gate, which
@@ -277,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_common_neighbors": GA.kg_common_neighbors,  # r7: cap refund
         "kg_export_neighbors": GA.kg_export_neighbors,  # r7: cap refund
         "kg_degree_distribution": GA.kg_degree_distribution,  # r7: cap refund
+        "kg_conv_fanout": GA.kg_conv_fanout,  # new r7 (cap-coverage monitor)
         "kg_edge_lift": GA.kg_edge_lift,  # r7: cap refund
         "kg_kcore": GA.kg_kcore,  # r7: cap refund
         "kg_communities": GA.kg_communities,  # r7: cap refund
@@ -295,10 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_alias_triples": _el_alias_triples,
         "el_levenshtein_pairs": RX.el_levenshtein_pairs,  # see contract note
         "ss_ivf_ann": SS.ss_ivf_ann,
-        "kg_mentions_rescan": _kg_mentions_rescan,
         # 51+: r05/r06 driver-green, unchanged in r7, guarded by the local
         # gate.  The r06-certified block first (freshest — they rotate
         # back in last), then the r05-certified tail.
+        "kg_mentions_rescan": _kg_mentions_rescan,
         "ta_tfidf_topk": TA.ta_tfidf_topk,
         "mm_payload_dedup": MM.mm_payload_dedup,
         "kg_triples_incremental": TR.kg_triples_incremental,
@@ -408,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_distribution": GA.degree_distribution_sql(
             duckdb_oracle.mentions_sql()
         ),
+        "kg_conv_fanout": GA.conv_fanout_sql(duckdb_oracle.mentions_sql()),
         "kg_triples_incremental": TR.kg_triples_incremental_sql(
             duckdb_oracle.triples_sql()
         ),

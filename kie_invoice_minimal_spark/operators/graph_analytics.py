@@ -951,6 +951,67 @@ def kg_degree_distribution(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_conv_fanout(spark, sf_dir: str) -> DataFrame:
+    """(bucket, n_convs, min_d, max_d, n_over_cap): log2-binned histogram
+    of per-conversation DISTINCT NAME/BRAND surface counts — the
+    conversation-side companion to kg_degree_distribution (which monitors
+    node degrees): this is the monitor that tells whether COMENTION_CAP
+    still covers the fan-out mass.  Operationally it closes the loop on
+    the r7 cap refund: capped_conv_surfaces skips its top-N windows when
+    the max fan-out is ≤ cap, and this histogram is how an operator
+    WATCHES that condition corpus-wide — n_over_cap > 0 in any bucket
+    means the skew path (and its truncation-to-top-cap semantics) is
+    live, a new high bucket appearing means an agent loop started
+    spamming entity lists.  bucket = floor(log2(d)) via length(bin(d))−1,
+    pure integer arithmetic, byte-identical in DuckDB (the same libm-free
+    binning as kg_degree_distribution).  Shape: one map-side-combined
+    distinct-count per conversation, then a bucket rollup — nothing
+    bigger than the conversation count ever shuffles.  Reference analog:
+    per-image detected-box count summaries, kie_utils.py:133-150."""
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    d = (
+        m.filter(F.col("mention_type").isin(*PR_TYPES))
+        .groupBy("conv_id")
+        .agg(F.countDistinct("surface").cast("long").alias("d"))
+    )
+    return (
+        d.groupBy(
+            (F.length(F.bin(F.col("d"))) - 1).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.min("d").cast("long").alias("min_d"),
+            F.max("d").cast("long").alias("max_d"),
+            F.sum(
+                F.when(F.col("d") > COMENTION_CAP, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_over_cap"),
+        )
+    )
+
+
+def conv_fanout_sql(mentions_sql: str) -> str:
+    types = ", ".join(f"'{t}'" for t in PR_TYPES)
+    return f"""
+WITH m AS MATERIALIZED ({mentions_sql}),
+d AS (
+  SELECT conv_id, CAST(count(DISTINCT surface) AS BIGINT) AS d
+  FROM m WHERE mention_type IN ({types}) GROUP BY conv_id
+)
+SELECT CAST(length(bin(d)) - 1 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(min(d) AS BIGINT) AS min_d,
+       CAST(max(d) AS BIGINT) AS max_d,
+       CAST(sum(CASE WHEN d > {COMENTION_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_cap
+FROM d GROUP BY 1
+"""
+
+
 def degree_distribution_sql(mentions_sql: str) -> str:
     return f"""
 WITH {_graph_cte(mentions_sql)},

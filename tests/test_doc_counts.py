@@ -68,6 +68,8 @@ def test_certification_window_holds_round7_critical_entries():
         "mm_frame_hash_dedup",
         # new in round 7: near-dup frame detection (r6 verdict item 5)
         "mm_frame_minhash_pairs",
+        # new in round 7: the cap-coverage monitor
+        "kg_conv_fanout",
         # the eighteen r04-stale entries (r6 verdict item 1)
         "mm_frame_sample", "r3_text_encode", "e4_graph_norm",
         "a10_accuracy", "o3_confusion_matrix", "o2_mention_output",

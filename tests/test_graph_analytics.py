@@ -712,3 +712,38 @@ def test_capped_surfaces_skew_path_still_windows_and_binds(spark):
         by_conv.setdefault(r.conv_id, set()).add(r.surface)
     assert by_conv["hot"] == {f"E{i:03d}" for i in range(cap)}
     assert by_conv["cold"] == {"X", "Y"}  # under-cap conv untouched
+
+
+def test_conv_fanout_matches_python_model(spark):
+    """kg_conv_fanout (r7): the log2-binned per-conversation fan-out
+    histogram must equal a pure-Python recount, and n_over_cap must be 0
+    at fixture SF (the under-cap regime the refund's scalar guard sees)."""
+    from collections import Counter
+
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        COMENTION_CAP,
+        PR_TYPES,
+        kg_conv_fanout,
+    )
+    from kie_invoice_minimal_spark.operators.mention_detect import (
+        detect_mentions_arrow,
+    )
+    from kie_invoice_minimal_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf)).collect()
+    per_conv = {}
+    for r in m:
+        if r.mention_type in PR_TYPES:
+            per_conv.setdefault(r.conv_id, set()).add(r.surface)
+    ds = Counter(len(v).bit_length() - 1 for v in per_conv.values())
+    got = {r.bucket: r for r in kg_conv_fanout(spark, sf).collect()}
+    assert set(got) == set(ds)
+    for b, row in got.items():
+        vals = [len(v) for v in per_conv.values() if len(v).bit_length() - 1 == b]
+        assert row.n_convs == len(vals)
+        assert row.min_d == min(vals) and row.max_d == max(vals)
+        assert row.n_over_cap == sum(1 for v in vals if v > COMENTION_CAP)
+    assert sum(r.n_over_cap for r in got.values()) == 0  # fixture under cap
