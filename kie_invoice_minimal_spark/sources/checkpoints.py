@@ -60,6 +60,7 @@ def engine_code_fingerprint() -> str:
 
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.md5()
+    n_files = 0
     for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
         dirnames.sort()
         for fn in sorted(filenames):
@@ -72,6 +73,26 @@ def engine_code_fingerprint() -> str:
             with open(path, "rb") as f:
                 h.update(f.read())
             h.update(b"\0")
+            n_files += 1
+    if n_files == 0:
+        # spark-submit --py-files deployment: the package lives INSIDE a
+        # zip, so os.walk over the in-zip path yields nothing — hashing
+        # "no files" would give every zip deploy the SAME fingerprint and
+        # silently degrade the manifest check to a pass-through.  Hash
+        # the archive bytes instead: same contract (code changed <=>
+        # fingerprint changed), since --py-files ships the whole zip.
+        lower = pkg_root.lower()
+        for ext in (".zip", ".egg"):
+            if ext in lower:
+                archive = pkg_root[: lower.index(ext) + len(ext)]
+                with open(archive, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                break
+        else:  # unlocatable source: never claim a reusable fingerprint
+            import uuid
+
+            h.update(f"unhashable-source-{uuid.uuid4().hex}".encode())
     _CODE_FP.append(h.hexdigest())
     return _CODE_FP[0]
 
