@@ -201,7 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     flagship kg_* four (entry() parity); 5-22 the EIGHTEEN entries whose
     last driver-green row dated r04 (mm_frame_sample … ev_funnel_stages —
     r6 verdict item 1: after this round no registry entry's certification
-    is older than r05); 23-37 the operators changed or added in round 7:
+    is older than r05); 23-38 the operators changed or added in round 7:
     the THIRTEEN graph-family entries re-planned by the
     capped_conv_surfaces common-path refund + the PageRank int64 headroom
     guard (kg_entity_pagerank, kg_canonical_pagerank,
@@ -266,7 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_linear_fit": RX.stats_linear_fit,
         "dd_incremental": DD.dd_incremental,
         "ev_funnel_stages": RX.ev_funnel_stages,
-        # 23-37: changed or new in round 7 (need fresh certification) —
+        # 23-38: changed or new in round 7 (need fresh certification) —
         # the capped_conv_surfaces common-path refund + PageRank headroom
         # guard re-plan every comention-graph consumer; mm_frame_hash_dedup
         # gained the offset-overflow guard; mm_frame_minhash_pairs is new
@@ -286,7 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": GA.kg_communities,  # r7: cap refund
         "mm_frame_hash_dedup": MM.mm_frame_hash_dedup,  # r7: offset guard
         "mm_frame_minhash_pairs": MM.mm_frame_minhash_pairs,  # new r7
-        # 38-50: freshness rotation — r05-certified, unchanged
+        # 39-50: freshness rotation — r05-certified, unchanged
         "ta_doc_vectors": TA.ta_doc_vectors,
         "approx_stats": RX.approx_stats,
         "ta_ngram_lm_score": TA.ta_ngram_lm_score,
