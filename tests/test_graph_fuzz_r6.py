@@ -208,3 +208,46 @@ def test_communities_sql_equals_python_model(pairs):
             new[v] = min(l for l, s in sc.items() if s == mw)
         lbl = new
     assert got == lbl
+
+
+# --- round 7: conv-fanout histogram fuzz (bin-boundary pinning) ---------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(MENTION, min_size=0, max_size=60))
+def test_conv_fanout_sql_equals_python_model(pairs):
+    """kg_conv_fanout's oracle vs a pure-Python recount on arbitrary
+    mention multisets — specifically pins the log2-bin boundaries
+    (d = 1, 2, 4, 8 land in buckets 0, 1, 2, 3 via length(bin(d))-1,
+    where float log2 at exact powers of two is the classic cross-engine
+    ulp hazard) and the over-cap counting with a deliberately tiny cap."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        conv_fanout_sql,
+    )
+
+    pdf = _mentions_pdf(pairs)
+    con = duckdb.connect()
+    con.register("m_in", pdf)
+    # shrink the cap inside the generated SQL so random data exceeds it
+    sql = conv_fanout_sql("SELECT * FROM m_in").replace("> 32", "> 2")
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(sql).fetchall()
+    }
+    per_conv = defaultdict(set)
+    for c, s in pairs:
+        per_conv[f"c{c}"].add(s)
+    buckets = defaultdict(list)
+    for v in per_conv.values():
+        d = len(v)
+        buckets[d.bit_length() - 1].append(d)
+    want = {
+        b: (
+            len(ds),
+            min(ds),
+            max(ds),
+            sum(1 for d in ds if d > 2),
+        )
+        for b, ds in buckets.items()
+    }
+    assert got == want
