@@ -53,7 +53,18 @@ def engine_code_fingerprint() -> str:
     source); recorded in every stage state and required to MATCH on
     resume — a mismatched (or missing, i.e. pre-manifest) fingerprint
     makes the stage read as incomplete, so it recomputes under the
-    current code instead of resuming stale bytes."""
+    current code instead of resuming stale bytes.
+
+    SCOPE (r7 ADVICE item 2): the fingerprint covers the ENGINE PACKAGE
+    only (every .py under kie_invoice_minimal_spark/).  A stage callable
+    defined OUTSIDE the package (user code, __spark_entry__.py) is
+    additionally hashed per-stage at write time (its inspect.getsource
+    bytes ride the stage state record — see _write_stage's stage_fn_
+    fingerprint), so an out-of-package stage edit also invalidates its
+    snapshot on resume; stages whose source inspect cannot see (REPL
+    lambdas, exec'd code) record a non-reusable per-process marker and
+    therefore never resume across processes — conservative, never
+    stale."""
     if _CODE_FP:
         return _CODE_FP[0]
     import hashlib
@@ -82,19 +93,64 @@ def engine_code_fingerprint() -> str:
         # the archive bytes instead: same contract (code changed <=>
         # fingerprint changed), since --py-files ships the whole zip.
         lower = pkg_root.lower()
+        hashed_archive = False
         for ext in (".zip", ".egg"):
+            # r7 ADVICE item 3: a path COMPONENT merely containing
+            # ".zip"/".egg" is not an archive — without the isfile guard
+            # open() raises IsADirectoryError/FileNotFoundError here and
+            # crashes fingerprint computation instead of falling through
+            # to the never-reusable uuid branch
             if ext in lower:
                 archive = pkg_root[: lower.index(ext) + len(ext)]
+                if not os.path.isfile(archive):
+                    continue
                 with open(archive, "rb") as f:
                     for chunk in iter(lambda: f.read(1 << 20), b""):
                         h.update(chunk)
+                hashed_archive = True
                 break
-        else:  # unlocatable source: never claim a reusable fingerprint
+        if not hashed_archive:  # unlocatable source: never claim reusable
             import uuid
 
             h.update(f"unhashable-source-{uuid.uuid4().hex}".encode())
     _CODE_FP.append(h.hexdigest())
     return _CODE_FP[0]
+
+
+_PROC_MARKER: list[str] = []  # per-process marker for uninspectable stage fns
+
+
+def stage_fn_fingerprint(fn) -> str:
+    """md5 of a stage callable's SOURCE TEXT — the per-stage half of the
+    resume manifest (r7 ADVICE item 2): engine_code_fingerprint covers
+    only the package's .py files, but CheckpointedPipeline accepts
+    arbitrary callables, so a stage defined in user code
+    (__spark_entry__.py, a notebook module) could change across a deploy
+    while the engine fingerprint stayed put — and its stale snapshot
+    would silently resume.  Hashing inspect.getsource closes that hole
+    for every file-backed OUT-OF-PACKAGE callable; a callable defined
+    INSIDE the package returns the constant "in-package" (every package
+    source byte already moves engine_code_fingerprint, and hashing the
+    same bytes twice would add nothing); callables whose source inspect
+    cannot recover (REPL lambdas, exec'd code) get a process-stable but
+    never-persistent-across-processes marker, so they recompute on every
+    new process rather than ever resuming stale."""
+    import hashlib
+    import inspect
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        src_file = inspect.getsourcefile(fn) or ""
+        if os.path.abspath(src_file).startswith(pkg_root + os.sep):
+            return "in-package"
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        if not _PROC_MARKER:
+            import uuid
+
+            _PROC_MARKER.append(uuid.uuid4().hex)
+        return f"uninspectable-{_PROC_MARKER[0]}"
+    return hashlib.md5(src.encode()).hexdigest()
 
 
 class CheckpointedPipeline:
@@ -128,15 +184,26 @@ class CheckpointedPipeline:
             # did not complete — recompute rather than crash the resume
             return None
 
+    def _stage_fn(self, stage: str):
+        for st in self.stages:
+            if st.name == stage:
+                return st.fn
+        return None
+
     def is_complete(self, stage: str) -> bool:
         """Complete AND built by THIS code version (see
-        engine_code_fingerprint) — a stale or pre-manifest snapshot reads
-        as incomplete and recomputes rather than resuming silently."""
+        engine_code_fingerprint) AND by this stage callable's source (see
+        stage_fn_fingerprint — out-of-package stage edits must also
+        invalidate) — a stale or pre-manifest snapshot reads as
+        incomplete and recomputes rather than resuming silently."""
         st = self.state(stage)
+        fn = self._stage_fn(stage)
         return bool(
             st
             and st.get("status") == "complete"
             and st.get("code_fingerprint") == engine_code_fingerprint()
+            and fn is not None
+            and st.get("stage_fn_fingerprint") == stage_fn_fingerprint(fn)
         )
 
     def load(self, stage: str) -> DataFrame:
@@ -189,8 +256,12 @@ class CheckpointedPipeline:
             "wall_verify_sec": round(time.time() - t_written, 3),
             "wall_sec": round(time.time() - t_start, 3),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            # resume manifest: stale-code snapshots must not resume
+            # resume manifest: stale-code snapshots must not resume —
+            # engine package hash plus this stage callable's source hash
+            # (out-of-package stages change without moving the package
+            # fingerprint; r7 ADVICE item 2)
             "code_fingerprint": engine_code_fingerprint(),
+            "stage_fn_fingerprint": stage_fn_fingerprint(self._stage_fn(name)),
         }
         tmp = self._state_path(name) + ".tmp"
         with open(tmp, "w") as f:

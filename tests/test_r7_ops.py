@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from kie_invoice_minimal_spark.operators.multimodal import (
     MM_FRAME_CHARS,
     MM_FRAME_MINHASH_SQL,
+    MM_FRAME_SAMPLE_STEP,
     frame_minhash_pairs,
     mm_frame_minhash_pairs,
 )
@@ -111,7 +112,9 @@ def test_frame_minhash_verify_is_exact_jaccard(spark):
         out = set()
         if not text:
             return out
-        for fi in range(0, (len(text) - 1) // MM_FRAME_CHARS + 1, 2):
+        for fi in range(
+            0, (len(text) - 1) // MM_FRAME_CHARS + 1, MM_FRAME_SAMPLE_STEP
+        ):
             sl = text[fi * MM_FRAME_CHARS : fi * MM_FRAME_CHARS + MM_FRAME_CHARS]
             out.add(int(hashlib.md5(sl.encode()).hexdigest()[:15], 16))
         return out

@@ -22,16 +22,20 @@ def test_full_run_then_resume_skips_recompute(spark, tmp_path):
     p1 = kg_pipeline(spark, root, _provider(400))
     out1 = _triples(p1.run())
 
-    # second run must NOT call any stage fn — poison the provider
+    # second run must NOT recompute anything: poison the provider (the
+    # transcripts stage calling it would raise) AND poison _write_stage
+    # (ANY recomputed stage must write its snapshot, so a resume that
+    # recomputes trips it).  The stage fns themselves are left alone —
+    # under the r8 per-stage source manifest, REPLACING a stage fn is a
+    # code change and legitimately forces recompute (see
+    # test_changed_stage_fn_source_forces_recompute).
     def boom(sp):
         raise AssertionError("stage recomputed despite checkpoint")
 
     p2 = kg_pipeline(spark, root, boom)
-    for st in p2.stages:
-        orig = st.fn
-        st.fn = lambda sp, up, _o=orig: (_ for _ in ()).throw(
-            AssertionError(f"stage {_o} recomputed")
-        )
+    p2._write_stage = lambda name, df: (_ for _ in ()).throw(
+        AssertionError(f"stage {name} recomputed despite checkpoint")
+    )
     out2 = _triples(p2.run(resume=True))
     assert out1 == out2
 
@@ -144,3 +148,64 @@ def test_stale_code_fingerprint_forces_recompute(spark, tmp_path):
     del st["code_fingerprint"]
     json.dump(st, open(sp, "w"))
     assert not kg_pipeline(spark, root, _provider(300)).is_complete("mentions")
+
+
+def _stage_rows_v1(sp, up):
+    import pyspark.sql.functions as _F
+
+    return sp.range(10).select(_F.col("id"), _F.lit("v1").alias("tag"))
+
+
+def _stage_rows_v2(sp, up):
+    import pyspark.sql.functions as _F
+
+    return sp.range(10).select(_F.col("id"), _F.lit("v2").alias("tag"))
+
+
+def test_changed_stage_fn_source_forces_recompute(spark, tmp_path):
+    """r7 ADVICE item 2 (out-of-package half): a stage callable defined
+    OUTSIDE the engine package (this test file stands in for user code /
+    __spark_entry__.py) changes across a deploy WITHOUT moving
+    engine_code_fingerprint — its stale snapshot must read as incomplete
+    and recompute under the new source, while an identical-source rebuild
+    resumes."""
+    from kie_invoice_minimal_spark.sources.checkpoints import (
+        CheckpointedPipeline,
+        Stage,
+        stage_fn_fingerprint,
+    )
+
+    root = str(tmp_path / "ckpt_fnfp")
+    p1 = CheckpointedPipeline(spark, root, [Stage("rows", _stage_rows_v1)])
+    out1 = p1.run()
+    assert {r.tag for r in out1["rows"].collect()} == {"v1"}
+    rec = p1.state("rows")["stage_fn_fingerprint"]
+    assert rec == stage_fn_fingerprint(_stage_rows_v1)
+    assert rec != "in-package" and not rec.startswith("uninspectable-")
+
+    # same source object -> resumable (and the engine fp alone would say so)
+    p_same = CheckpointedPipeline(spark, root, [Stage("rows", _stage_rows_v1)])
+    assert p_same.is_complete("rows")
+
+    # DIFFERENT source, same engine fingerprint -> stale, recomputes
+    p2 = CheckpointedPipeline(spark, root, [Stage("rows", _stage_rows_v2)])
+    assert not p2.is_complete("rows")
+    out2 = p2.run(resume=True)
+    assert {r.tag for r in out2["rows"].collect()} == {"v2"}
+    assert p2.state("rows")["stage_fn_fingerprint"] == stage_fn_fingerprint(
+        _stage_rows_v2
+    )
+
+    # in-package stage fns record the constant (covered by the engine fp)
+    root2 = str(tmp_path / "ckpt_fnfp2")
+    kp = kg_pipeline(spark, root2, _provider(50))
+    kp.run()
+    assert all(
+        m["stage_fn_fingerprint"] == "in-package" for m in kp.metrics()
+    )
+
+    # uninspectable callables never resume across processes: the marker is
+    # process-stable but embeds a per-process uuid
+    fn = eval("lambda sp, up: sp.range(1)")
+    m1, m2 = stage_fn_fingerprint(fn), stage_fn_fingerprint(fn)
+    assert m1 == m2 and m1.startswith("uninspectable-")
