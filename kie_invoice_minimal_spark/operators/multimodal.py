@@ -158,6 +158,83 @@ MM_FRAME_CHARS = 40  # chars per fake frame slice (small enough that fixture
 #                      docs span many frames; a real decoder replaces this)
 
 
+def framed_frame_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): every sampled frame's 60-bit md5 fingerprint — THE
+    single definition of the frame-fingerprint scheme (r7 verdict item:
+    the framing/sampling/guarded-offset expressions previously existed in
+    four places — mm_frame_hash_dedup + _frame_fps on the Spark side and
+    both DuckDB twins — a drift hazard exactly like the duplicated
+    edge-gen SURVEY.md flags in the reference, kie_utils.py:124-150 vs
+    gated_gcn.py:329-362).  Both frame operators and both twins (via
+    frames_sql_cte) now consume this one scheme:
+
+    - frame index: every MM_FRAME_SAMPLE_STEP'th index in
+      [0, (len-1) DIV MM_FRAME_CHARS]; empty texts emit no frames;
+    - offset guard (r6 ADVICE item 3): fi·CHARS+1 is computed in BIGINT
+      and raise_error()s past INT32 before the substring cast — for
+      texts approaching Spark's 2^31-char limit the bare cast would wrap
+      negative in non-ANSI Spark while DuckDB errors, a cross-engine
+      divergence; below the bound values are unchanged;
+    - fp: mdhash over the MM_FRAME_CHARS-char slice (the documented
+      environmental decode stub — a real pipeline swaps the slice for
+      decoded-frame bytes / perceptual hash; schema and shape identical).
+
+    Emits one row per SAMPLED frame (duplicates kept — mm_frame_hash_dedup
+    counts frames); set-valued consumers dedup downstream (_frame_fps)."""
+    from .text_analysis import mdhash_spark
+
+    fr = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") > 0,
+                F.expr(
+                    f"sequence(CAST(0 AS BIGINT),"
+                    f" CAST((length(text) - 1) DIV {MM_FRAME_CHARS} AS BIGINT),"
+                    f" CAST({MM_FRAME_SAMPLE_STEP} AS BIGINT))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        ).alias("fi"),
+        "text",
+    )
+    off = (
+        f"CAST(CASE WHEN fi * {MM_FRAME_CHARS} + 1 <= 2147483647"
+        f" THEN fi * {MM_FRAME_CHARS} + 1"
+        f" ELSE CAST(raise_error('frame offset exceeds INT32 range')"
+        f" AS BIGINT) END AS INT)"
+    )
+    return fr.select(
+        "doc_id",
+        mdhash_spark(
+            F.expr(f"substring(text, {off}, {MM_FRAME_CHARS})")
+        ).alias("fp"),
+    )
+
+
+def frames_sql_cte(distinct: bool) -> str:
+    """The DuckDB twin of framed_frame_fps as CTE text (``fr`` +
+    ``frames``, no leading WITH) — the one SQL definition both frame
+    twins embed.  ``distinct`` selects the set-valued variant
+    (frame-set MinHash) vs the per-frame stream (frame-count dedup)."""
+    from .text_analysis import MDHASH_SQL
+
+    fp = MDHASH_SQL(
+        f"substring(text, CAST(CASE WHEN fi * {MM_FRAME_CHARS} + 1 <= 2147483647"
+        f" THEN fi * {MM_FRAME_CHARS} + 1"
+        f" ELSE error('frame offset exceeds INT32 range')"
+        f" END AS INT), {MM_FRAME_CHARS})"
+    )
+    kw = "DISTINCT " if distinct else ""
+    return f"""fr AS (
+  SELECT doc_id,
+         unnest(range(0, ((length(text) - 1) // {MM_FRAME_CHARS}) + 1,
+                      {MM_FRAME_SAMPLE_STEP})) AS fi,
+         text
+  FROM documents WHERE length(text) > 0
+),
+frames AS (SELECT {kw}doc_id, {fp} AS fp FROM fr)"""
+
+
 def mm_frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_frames_hashed, n_dup_frames, dup_frac_ppm): FRAME-level
     cross-asset dedup — the video-pipeline composition of mm_frame_sample
@@ -180,45 +257,12 @@ def mm_frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB of video: the frame stream is rows ≈ frames/2, the
     fingerprint table aggregates with map-side combine on fp, and the
     ownership join is fp-keyed — no payload bytes cross any shuffle.
-    Reference analog: per-crop batched hashing of the detector outputs,
-    kie_utils.py:133-150."""
-    from .text_analysis import mdhash_spark
-
+    Framing/sampling/offset-guard semantics live in framed_frame_fps (the
+    single scheme definition; r6 ADVICE item 3's BIGINT offset guard is
+    documented there).  Reference analog: per-crop batched hashing of the
+    detector outputs, kie_utils.py:133-150."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    fr = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.length("text") > 0,
-                F.expr(
-                    f"sequence(CAST(0 AS BIGINT),"
-                    f" CAST((length(text) - 1) DIV {MM_FRAME_CHARS} AS BIGINT),"
-                    f" CAST({MM_FRAME_SAMPLE_STEP} AS BIGINT))"
-                ),
-            ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-        ).alias("fi"),
-        "text",
-    )
-    # r6 ADVICE item 3: the frame offset fi*CHARS+1 is computed in BIGINT
-    # and only then cast to INT for substring's pos argument; for texts
-    # approaching Spark's 2^31-char string limit the bare CAST would wrap
-    # negative in non-ANSI Spark while DuckDB errors on cast overflow — a
-    # cross-engine divergence.  Both dialects now guard the cast
-    # identically (raise_error / error()), so an impossible-length text
-    # fails LOUDLY on both engines instead of diverging; below the bound
-    # (every real Spark string) values are unchanged.
-    _off_guard = (
-        f"CAST(CASE WHEN fi * {MM_FRAME_CHARS} + 1 <= 2147483647"
-        f" THEN fi * {MM_FRAME_CHARS} + 1"
-        f" ELSE CAST(raise_error('mm_frame_hash_dedup: frame offset exceeds"
-        f" INT32 range') AS BIGINT) END AS INT)"
-    )
-    frames = fr.select(
-        "doc_id",
-        mdhash_spark(
-            F.expr(f"substring(text, {_off_guard}, {MM_FRAME_CHARS})")
-        ).alias("fp"),
-    )
+    frames = framed_frame_fps(docs)
     nd = frames.groupBy("fp").agg(
         F.countDistinct("doc_id").alias("nd")
     )
@@ -245,25 +289,10 @@ def mm_frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_frame_hash_dedup_sql() -> str:
-    from .text_analysis import MDHASH_SQL
-
-    # identical offset-overflow guard as the Spark side (see
-    # mm_frame_hash_dedup) — error() is DuckDB's raise_error twin
-    fp = MDHASH_SQL(
-        f"substring(text, CAST(CASE WHEN fi * {MM_FRAME_CHARS} + 1 <= 2147483647"
-        f" THEN fi * {MM_FRAME_CHARS} + 1"
-        f" ELSE error('mm_frame_hash_dedup: frame offset exceeds INT32 range')"
-        f" END AS INT), {MM_FRAME_CHARS})"
-    )
+    # fr/frames come from the shared fragment (frames_sql_cte — the one
+    # SQL definition of the frame scheme; error() is raise_error's twin)
     return f"""
-WITH fr AS (
-  SELECT doc_id,
-         unnest(range(0, ((length(text) - 1) // {MM_FRAME_CHARS}) + 1,
-                      {MM_FRAME_SAMPLE_STEP})) AS fi,
-         text
-  FROM documents WHERE length(text) > 0
-),
-frames AS (SELECT doc_id, {fp} AS fp FROM fr),
+WITH {frames_sql_cte(distinct=False)},
 nd AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM frames GROUP BY fp),
 per AS (
   SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_frames_hashed,
@@ -287,45 +316,12 @@ MM_FRAME_HASH_DEDUP_SQL = _mm_frame_hash_dedup_sql()
 
 def _frame_fps(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): the DISTINCT sampled-frame fingerprint set per doc —
-    the same framing/sampling/guarded-offset scheme as
-    mm_frame_hash_dedup (one definition would be ideal, but the two
-    operators explode different column sets; the constants and the fp
-    expression are shared so the schemes cannot drift).  Repartitioned
-    once on doc_id so the three consumers (signature agg + both verify
-    sides) share ONE exchange instead of re-running the explode+md5 scan
-    per branch — the dd_ngram_jaccard shared-exchange discipline."""
-    from .text_analysis import mdhash_spark
-
-    fr = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.length("text") > 0,
-                F.expr(
-                    f"sequence(CAST(0 AS BIGINT),"
-                    f" CAST((length(text) - 1) DIV {MM_FRAME_CHARS} AS BIGINT),"
-                    f" CAST({MM_FRAME_SAMPLE_STEP} AS BIGINT))"
-                ),
-            ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-        ).alias("fi"),
-        "text",
-    )
-    off = (
-        f"CAST(CASE WHEN fi * {MM_FRAME_CHARS} + 1 <= 2147483647"
-        f" THEN fi * {MM_FRAME_CHARS} + 1"
-        f" ELSE CAST(raise_error('frame offset exceeds INT32 range')"
-        f" AS BIGINT) END AS INT)"
-    )
-    return (
-        fr.select(
-            "doc_id",
-            mdhash_spark(
-                F.expr(f"substring(text, {off}, {MM_FRAME_CHARS})")
-            ).alias("fp"),
-        )
-        .distinct()
-        .repartition("doc_id")
-    )
+    framed_frame_fps (the single scheme definition) deduped to a set.
+    Repartitioned once on doc_id so the three consumers (signature agg +
+    both verify sides) share ONE exchange instead of re-running the
+    explode+md5 scan per branch — the dd_ngram_jaccard shared-exchange
+    discipline."""
+    return framed_frame_fps(docs).distinct().repartition("doc_id")
 
 
 def frame_minhash_pairs(docs: DataFrame) -> DataFrame:
@@ -447,12 +443,6 @@ def _mm_frame_minhash_sql() -> str:
     from .dedup import _MH_A, _MH_B, _MH_P, JACCARD_DEN, JACCARD_NUM, MINHASH_BANDS, MINHASH_K
     from .text_analysis import MDHASH_SQL
 
-    fp = MDHASH_SQL(
-        f"substring(text, CAST(CASE WHEN fi * {MM_FRAME_CHARS} + 1 <= 2147483647"
-        f" THEN fi * {MM_FRAME_CHARS} + 1"
-        f" ELSE error('frame offset exceeds INT32 range')"
-        f" END AS INT), {MM_FRAME_CHARS})"
-    )
     r = MINHASH_K // MINHASH_BANDS
     sig = ",\n         ".join(
         f"min(((fp % {_MH_P}) * {_MH_A[i]} + {_MH_B[i]}) % {_MH_P}) AS mh_{i}"
@@ -472,14 +462,7 @@ def _mm_frame_minhash_sql() -> str:
         for b in range(MINHASH_BANDS)
     )
     return f"""
-WITH fr AS (
-  SELECT doc_id,
-         unnest(range(0, ((length(text) - 1) // {MM_FRAME_CHARS}) + 1,
-                      {MM_FRAME_SAMPLE_STEP})) AS fi,
-         text
-  FROM documents WHERE length(text) > 0
-),
-frames AS (SELECT DISTINCT doc_id, {fp} AS fp FROM fr),
+WITH {frames_sql_cte(distinct=True)},
 nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fr FROM frames GROUP BY doc_id),
 sigs AS (
   SELECT doc_id,
