@@ -50,6 +50,12 @@ PR_RANK_PARTS = 8  # fallback range-partition count for the two-phase rank
 #                    (used only when spark.sql.shuffle.partitions is unreadable)
 
 
+# Observability counters for the cap decision (tests pin the probe count
+# and the common-vs-skew routing; see test_r8_cap_routing.py).  Driver-side
+# ints only — never shipped to executors.
+CAP_PATH_STATS = {"probes": 0, "common": 0, "skew": 0}
+
+
 def capped_conv_surfaces(mentions: DataFrame, cap: int = COMENTION_CAP) -> DataFrame:
     """(conv_id, surface): each conversation's distinct NAME/BRAND surfaces
     truncated to its top-``cap`` by (mention count DESC, surface ASC) — the
@@ -78,15 +84,33 @@ def capped_conv_surfaces(mentions: DataFrame, cap: int = COMENTION_CAP) -> DataF
     top-N window shuffles vanish from the plan entirely and the pairing
     join reads the checkpoint directly (the r6 version paid both windows
     unconditionally: kg_entity_pagerank 2.34→3.07 s for a cap that never
-    bound).  The skew path is unchanged.  The checkpoint also makes the
-    pairing self-join's two branches read one materialization instead of
-    re-running the detector lineage per branch."""
+    bound).  The checkpoint also makes the pairing self-join's two
+    branches read one materialization instead of re-running the detector
+    lineage per branch.
+
+    PER-CONVERSATION SKEW ROUTING (r7 verdict item 2): when the probe
+    says max_d > cap, the r7 version pushed EVERY conversation through
+    both top-N windows — one agent-loop conversation re-inflicted the
+    full window cost on the whole corpus.  Now only the >cap
+    conversations take the windows: their conv_ids (derived from the cnt
+    checkpoint by the same count the probe aggregated, localCheckpoint'd
+    because the tiny over-cap id set feeds an anti- and a semi-join) are
+    semi-joined to the window branch while the ≤cap majority bypasses
+    via an anti-join, and the two branches union.  The over-cap id table
+    is small by definition (it is the skew set), so AQE turns both
+    joins into broadcasts at runtime — NOT forced, because an
+    adversarial corpus where every conversation is hot would make a
+    forced broadcast OOM the driver.  Value-equal to the r7 all-convs
+    windows (a top-cap window over a ≤cap conversation keeps every row)
+    and to the oracle's single corpus-wide window; pinned by
+    test_r8_cap_routing.py's planted one-hot fixture."""
     cnt = (
         mentions.filter(F.col("mention_type").isin(*PR_TYPES))
         .groupBy("conv_id", "surface")
         .agg(F.count("*").cast("long").alias("cnt"))
         .localCheckpoint()
     )
+    CAP_PATH_STATS["probes"] += 1
     max_d = (
         cnt.groupBy("conv_id")
         .agg(F.count("*").alias("d"))
@@ -94,21 +118,33 @@ def capped_conv_surfaces(mentions: DataFrame, cap: int = COMENTION_CAP) -> DataF
         .first()[0]
     )
     if max_d is None or max_d <= cap:
+        CAP_PATH_STATS["common"] += 1
         return cnt.select("conv_id", "surface")
+    CAP_PATH_STATS["skew"] += 1
+    over = (
+        cnt.groupBy("conv_id")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") > cap)
+        .select("conv_id")
+        .localCheckpoint()
+    )
+    below = cnt.join(over, "conv_id", "left_anti").select("conv_id", "surface")
+    hot = cnt.join(over, "conv_id", "left_semi")
     w1 = Window.partitionBy(
         "conv_id", F.pmod(F.xxhash64("surface"), F.lit(_KHOP_SALT))
     ).orderBy(F.desc("cnt"), F.asc("surface"))
     lvl1 = (
-        cnt.withColumn("rn", F.row_number().over(w1))
+        hot.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= cap)
         .drop("rn")
     )
     w2 = Window.partitionBy("conv_id").orderBy(F.desc("cnt"), F.asc("surface"))
-    return (
+    capped_hot = (
         lvl1.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= cap)
         .select("conv_id", "surface")
     )
+    return below.unionByName(capped_hot)
 
 
 def _pair_edges(cs: DataFrame) -> DataFrame:
@@ -972,8 +1008,22 @@ def kg_conv_fanout(spark, sf_dir: str) -> DataFrame:
     from .mention_detect import detect_mentions_arrow
 
     m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    return conv_fanout_hist(m)
+
+
+def conv_fanout_hist(
+    mentions: DataFrame, cap: int = COMENTION_CAP
+) -> DataFrame:
+    """The fan-out histogram over an arbitrary mentions table — split out
+    of kg_conv_fanout (identical expressions, same plan) so the
+    probe/monitor agreement property can be tested on planted fan-outs
+    straddling the cap (test_r8_cap_routing.py): across all buckets,
+    sum(n_over_cap) > 0 ⇔ capped_conv_surfaces takes its skew path —
+    the monitor observes exactly the decision the cap probe makes,
+    computed independently (countDistinct here vs the probe's count over
+    the grouped cnt table)."""
     d = (
-        m.filter(F.col("mention_type").isin(*PR_TYPES))
+        mentions.filter(F.col("mention_type").isin(*PR_TYPES))
         .groupBy("conv_id")
         .agg(F.countDistinct("surface").cast("long").alias("d"))
     )
@@ -986,7 +1036,7 @@ def kg_conv_fanout(spark, sf_dir: str) -> DataFrame:
             F.min("d").cast("long").alias("min_d"),
             F.max("d").cast("long").alias("max_d"),
             F.sum(
-                F.when(F.col("d") > COMENTION_CAP, F.lit(1)).otherwise(F.lit(0))
+                F.when(F.col("d") > cap, F.lit(1)).otherwise(F.lit(0))
             )
             .cast("long")
             .alias("n_over_cap"),
