@@ -430,11 +430,18 @@ def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .mention_detect import detect_mentions_arrow
 
     m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    return triangle_counts(comention_edges(m))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration over a SYMMETRIC (src, dst, w)
+    edge table — the from-edges core of kg_triangle_counts, shared with
+    graph_family_staged (which feeds it snapshot-read edges)."""
     # the edge table fans out into FIVE plan branches (und, deg x2, and the
     # three oriented copies) — without a lineage cut each branch re-runs the
     # scan + Arrow detector (measured: 133 exchanges / 56 arrow ops in the
     # uncut plan vs 12/1 cut); materialize it once, like pagerank() does
-    e = comention_edges(m).localCheckpoint()  # symmetric
+    e = edges.localCheckpoint()  # symmetric
     und = e.filter(F.col("src") < F.col("dst")).select("src", "dst")
     deg = (
         e.groupBy(F.col("src").alias("node"))
@@ -904,6 +911,89 @@ def kg_canonical_pagerank_derive(spark, sf_dir: str, root: str) -> DataFrame:
     return kg_canonical_pagerank_staged(spark, sf_dir, root)
 
 
+# --- staged graph-family prefix (one capped table + one probe per run) --------------
+
+def graph_snapshots(spark, sf_dir: str, root: str) -> dict[str, DataFrame]:
+    """capped_surfaces + edges snapshots from ONE CheckpointedPipeline run
+    — the staged-snapshot pattern applied one stage EARLIER than
+    staged_snapshots (r7 verdict item 1): every plain-graph entry
+    (pagerank, triangles, k-hop, common neighbors, export, degree
+    distribution, k-core, edge lift, communities) starts from
+    capped_conv_surfaces, and each COLD entry pays its own eager cnt
+    localCheckpoint plus its own scalar fan-out probe — 13 near-identical
+    probe jobs and 13 detector-lineage materializations per suite run; at
+    100× each probe is a full pass over a conversations×surfaces table.
+    Staged, ONE probe and ONE materialization serve every consumer: the
+    capped (conv_id, surface) table is snapshotted with the probe
+    RESOLVED AT BUILD TIME (the parquet IS the post-cap table, so loads
+    re-probe nothing), and the pairing edges are snapshotted beside it
+    for the consumers that start from edges.  Resume is manifest-gated
+    (engine + stage-fn fingerprints, sources/checkpoints.py), so a stale
+    root can never feed the family.  Reference analog: S8 stage
+    materialization, api.py:34,43."""
+    from ..sources.checkpoints import CheckpointedPipeline, Stage
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    def s_capped_surfaces(sp, _up):
+        m = detect_mentions_arrow(transcripts_from_documents(sp, sf_dir))
+        return capped_conv_surfaces(m)
+
+    def s_edges(sp, up):
+        return _pair_edges(up["capped_surfaces"])
+
+    return CheckpointedPipeline(
+        spark,
+        root,
+        [Stage("capped_surfaces", s_capped_surfaces), Stage("edges", s_edges)],
+    ).run()
+
+
+def kg_entity_pagerank_staged(spark, sf_dir: str, root: str) -> DataFrame:
+    """Entity PageRank from the staged graph snapshots — same oracle twin
+    as the cold kg_entity_pagerank (the gate certifies staged == cold);
+    the entry wrapper wipes the root per invocation so the timing is the
+    self-contained build+derive cost."""
+    return pagerank(graph_snapshots(spark, sf_dir, root)["edges"])
+
+
+def kg_entity_pagerank_derive(spark, sf_dir: str, root: str) -> DataFrame:
+    """The MARGINAL staged path: PageRank from EXISTING graph snapshots
+    (persistent wipe=False root in the entry wrapper; the first call
+    builds, every later one resumes) — what a nightly graph-analytics
+    job over maintained snapshots actually pays.  Same oracle twin as
+    the cold query: the gate certifies derive-from-snapshots == cold."""
+    return kg_entity_pagerank_staged(spark, sf_dir, root)
+
+
+def graph_family_staged(spark, sf_dir: str, root: str) -> dict[str, DataFrame]:
+    """The whole plain-graph family derived from ONE graph_snapshots run
+    — the suite's 13 probe jobs collapse to 1 on this path (pinned by
+    test_r8_graph_stage.py, which counts CAP_PATH_STATS probes across
+    the full family build).  Canonical-pagerank entries are not here:
+    their capped table is built over ALIAS-RESOLVED mentions, a
+    different upstream (they stage via staged_snapshots instead)."""
+    done = graph_snapshots(spark, sf_dir, root)
+    cs, e = done["capped_surfaces"], done["edges"]
+    le = lifted_edges_from_surfaces(cs)
+    return {
+        "kg_entity_pagerank": pagerank(e),
+        "kg_triangle_counts": triangle_counts(e),
+        "kg_khop_counts": khop_counts(e),
+        "kg_khop_kmv": khop_kmv(e),
+        "kg_common_neighbors": common_neighbors(e),
+        "kg_export_neighbors": export_neighbors(e),
+        "kg_degree_distribution": degree_distribution(e),
+        "kg_kcore": kcore_peel(e),
+        "kg_edge_lift": le,
+        "kg_communities": label_propagation(
+            le.filter(F.col("lift_ppm") >= LPA_PRUNE_PPM)
+        ).select(
+            F.col("node").alias("surface"), F.col("label").alias("community")
+        ),
+    }
+
+
 # --- adjacency-list export (graph materialize, consumer-facing shape) ---------------
 
 def kg_export_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,7 +1009,12 @@ def kg_export_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .mention_detect import detect_mentions_arrow
 
     m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
-    e = comention_edges(m)
+    return export_neighbors(comention_edges(m))
+
+
+def export_neighbors(e: DataFrame) -> DataFrame:
+    """Adjacency-list export from an edge table (the from-edges core of
+    kg_export_neighbors, shared with graph_family_staged)."""
     return (
         e.groupBy(F.col("src").alias("surface"))
         .agg(
@@ -971,9 +1066,13 @@ def kg_degree_distribution(spark, sf_dir: str) -> DataFrame:
     from .mention_detect import detect_mentions_arrow
 
     m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
-    deg = comention_edges(m).groupBy("src").agg(
-        F.count("*").cast("long").alias("deg")
-    )
+    return degree_distribution(comention_edges(m))
+
+
+def degree_distribution(e: DataFrame) -> DataFrame:
+    """Log2-binned degree histogram from an edge table (the from-edges
+    core of kg_degree_distribution, shared with graph_family_staged)."""
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     return (
         deg.groupBy(
             (F.length(F.bin(F.col("deg"))) - 1).cast("int").alias("bucket")
@@ -1276,7 +1375,16 @@ def lifted_edges(mentions: DataFrame) -> DataFrame:
     """(src, dst, w, lift_ppm): the capped co-mention edges annotated with
     integer lift — shared by kg_edge_lift (the raw scores) and
     kg_communities (the lift-pruned propagation graph)."""
-    cs = capped_conv_surfaces(mentions).localCheckpoint()
+    return lifted_edges_from_surfaces(
+        capped_conv_surfaces(mentions).localCheckpoint()
+    )
+
+
+def lifted_edges_from_surfaces(cs: DataFrame) -> DataFrame:
+    """lifted_edges from an already-MATERIALIZED capped (conv_id, surface)
+    table (localCheckpoint upstream, or a parquet snapshot on the
+    graph_family_staged path) — cs feeds four plan branches, so the
+    caller must have cut its lineage."""
     e = _pair_edges(cs)
     sc = cs.groupBy("surface").agg(F.count("*").cast("long").alias("c_s"))
     tot = cs.agg(F.countDistinct("conv_id").cast("long").alias("n_conv"))
@@ -1337,7 +1445,10 @@ KCORE_PEELS = 4  # fixed peel rounds (bounded compute; convergence is visible
 
 
 def kcore_peel(
-    e: DataFrame, k: int = KCORE_K, peels: int = KCORE_PEELS
+    e: DataFrame,
+    k: int = KCORE_K,
+    peels: int = KCORE_PEELS,
+    headroom: int = MAX_LONG,
 ) -> DataFrame:
     """(peel, n_nodes, n_edges): surviving node / directed-edge counts
     after each of ``peels`` fixed rounds of k-core peeling — drop every
@@ -1361,11 +1472,23 @@ def kcore_peel(
     materialization discipline as connected_components (which cuts for
     the same fan-out reason).  n_edges counts DIRECTED rows (the
     symmetric edge list carries each undirected edge twice).
+
+    INT64 HEADROOM GUARD (r7 next-round item 7): the per-round degree is
+    guarded by the same raise_error pattern as pagerank/LPA before the
+    ≥k comparison.  Honest scope note: TODAY the degree is a row count
+    (Spark's count cannot wrap — a single group would need > 9.2e18
+    rows), so the guard is vacuous on this exact plan; it exists so the
+    survival test's arithmetic keeps the uniform in-plan guard
+    discipline when the degree becomes a weighted sum (the natural
+    extension, and exactly where LPA's sw wraps), and so the explain
+    audit shows the same guarded shape across the whole iterative graph
+    family.  One bigint compare per node per round — free.  The trip
+    test fires it via the parameterized ``headroom``.
     """
     out = None
     cur = e.select("src", "dst").localCheckpoint()
     for i in range(1, peels + 1):
-        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        deg = _kcore_deg(cur, headroom)
         keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
         cur = (
             cur.join(keep, cur.src == keep.node, "left_semi")
@@ -1385,6 +1508,23 @@ def kcore_peel(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _kcore_deg(cur: DataFrame, headroom: int) -> DataFrame:
+    """One peel round's guarded (src, deg) table — split out so the
+    explain audit can see the raise_error guard (the per-round
+    localCheckpoint cuts it out of kcore_peel's RETURNED plan)."""
+    deg_guard = (
+        f"CASE WHEN deg >= 0 AND deg <= {headroom} THEN deg"
+        f" ELSE CAST(raise_error(concat("
+        f"'kcore_peel int64 headroom exceeded: deg=',"
+        f" CAST(deg AS STRING))) AS BIGINT) END"
+    )
+    return (
+        cur.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .select("src", F.expr(deg_guard).alias("deg"))
+    )
 
 
 def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1441,7 +1581,9 @@ LPA_ITERS = 2  # fixed synchronous rounds (determinism bargain as PR_ITERS:
 #                because both dialects stop at the same round)
 
 
-def label_propagation(e: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+def label_propagation(
+    e: DataFrame, iters: int = LPA_ITERS, headroom: int = MAX_LONG
+) -> DataFrame:
     """(node, label): synchronous weighted label propagation — every node
     starts as its own label; each round it adopts the label carrying the
     MOST total edge weight among its neighbors (ties → lexicographically
@@ -1456,6 +1598,20 @@ def label_propagation(e: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     window would sort a celebrity entity's whole label multiset in one
     task.  Labels are re-checkpointed per round: the argmax references
     the score table twice, so uncut lineage doubles per round.
+
+    INT64 HEADROOM GUARD (r7 next-round item 7 — the pagerank guard
+    pattern, graph_analytics.py pagerank_scores, extended to this
+    operator's weight sums): sw = Σw over a hub node's incident labels
+    can exceed int64 at extreme corpus scale, and non-ANSI Spark WRAPS
+    silently — a wrapped sw flips the argmax and silently reassigns
+    communities with no red gate.  One per-row guard rides the existing
+    score projection (zero extra shuffles): a post-sum sw outside
+    [0, headroom] raise_error()s, failing the job loudly.  The residual
+    window — a sum wrapping past 2^64 back into range before the check —
+    requires total weight mass ≥ 2^64, the same documented residual as
+    pagerank's insum guard.  ``headroom`` is parameterized so the trip
+    test can fire it deterministically; the DuckDB twin needs no guard
+    (HUGEINT-checked arithmetic errors on overflow by itself).
     """
     e0 = e.select("src", "dst", "w").localCheckpoint()
     lbl = (
@@ -1465,11 +1621,7 @@ def label_propagation(e: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(iters):
-        scores = (
-            e0.join(lbl, e0.dst == lbl.node)
-            .groupBy("src", "label")
-            .agg(F.sum("w").cast("long").alias("sw"))
-        )
+        scores = _lpa_scores(e0, lbl, headroom)
         best = scores.groupBy("src").agg(F.max("sw").alias("mw"))
         lbl = (
             scores.join(best, "src")
@@ -1480,6 +1632,27 @@ def label_propagation(e: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
             .localCheckpoint()
         )
     return lbl
+
+
+def _lpa_scores(e0: DataFrame, lbl: DataFrame, headroom: int) -> DataFrame:
+    """One LPA round's guarded (src, label, sw) score table — split out so
+    the explain audit can see the raise_error guard (the per-round
+    localCheckpoint cuts it out of label_propagation's RETURNED plan; the
+    trip test proves it executes, this function makes it auditable)."""
+    sw_guard = (
+        f"CASE WHEN sw >= 0 AND sw <= {headroom} THEN sw"
+        f" ELSE CAST(raise_error(concat("
+        f"'label_propagation int64 headroom exceeded: sw=',"
+        f" CAST(sw AS STRING),"
+        f" ' — reduce edge weights for this corpus size')) AS BIGINT)"
+        f" END"
+    )
+    return (
+        e0.join(lbl, e0.dst == lbl.node)
+        .groupBy("src", "label")
+        .agg(F.sum("w").cast("long").alias("sw"))
+        .select("src", "label", F.expr(sw_guard).alias("sw"))
+    )
 
 
 LPA_PRUNE_PPM = LIFT_Q  # propagate only over lift > 1 (positive association)

@@ -747,3 +747,81 @@ def test_conv_fanout_matches_python_model(spark):
         assert row.min_d == min(vals) and row.max_d == max(vals)
         assert row.n_over_cap == sum(1 for v in vals if v > COMENTION_CAP)
     assert sum(r.n_over_cap for r in got.values()) == 0  # fixture under cap
+
+
+# --- round 8: headroom guards extended to LPA + k-core -------------------------------
+
+
+def test_lpa_headroom_guard_trips_and_is_value_neutral(spark):
+    """r7 next-round item 7: label_propagation's weight sums get the
+    pagerank guard pattern — a tiny headroom fails the job loudly
+    (silent int64 wrap would flip the argmax and reassign communities);
+    the default headroom changes no output value."""
+    import pytest
+
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    with pytest.raises(Exception, match="headroom exceeded"):
+        label_propagation(_star_edges(spark), headroom=0).collect()
+    a = sorted(tuple(r) for r in label_propagation(_star_edges(spark)).collect())
+    b = sorted(
+        tuple(r)
+        for r in label_propagation(
+            _star_edges(spark), headroom=(1 << 63) - 1
+        ).collect()
+    )
+    assert a == b and a  # guard is a check, not a transform
+
+
+def test_kcore_headroom_guard_trips_and_is_value_neutral(spark):
+    import pytest
+
+    from kie_invoice_minimal_spark.operators.graph_analytics import kcore_peel
+
+    # hub degree 4 > headroom 1 -> in-plan raise_error
+    with pytest.raises(Exception, match="headroom exceeded"):
+        kcore_peel(_star_edges(spark), k=1, peels=1, headroom=1).collect()
+    a = sorted(tuple(r) for r in kcore_peel(_star_edges(spark), k=2).collect())
+    b = sorted(
+        tuple(r)
+        for r in kcore_peel(
+            _star_edges(spark), k=2, headroom=(1 << 63) - 1
+        ).collect()
+    )
+    assert a == b and a
+
+
+def test_lpa_and_kcore_guards_visible_in_plan(spark):
+    """The guards must ride the physical plans (raise_error branch per
+    guarded aggregate), mirroring the pagerank explain-audit check.  Both
+    loops localCheckpoint per round — which cuts the guard out of the
+    RETURNED plan (the trip tests prove it executes) — so the audit
+    targets the per-round projection helpers the loops actually call
+    (_lpa_scores / _kcore_deg), the same split pagerank_scores makes for
+    its own auditability."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as _F
+
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        MAX_LONG,
+        _kcore_deg,
+        _lpa_scores,
+    )
+
+    e0 = _star_edges(spark)
+    lbl = e0.select(_F.col("src").alias("node")).distinct().withColumn(
+        "label", _F.col("node")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _lpa_scores(e0, lbl, MAX_LONG).explain("formatted")
+    assert "raise_error" in buf.getvalue()
+
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        _kcore_deg(e0, MAX_LONG).explain("formatted")
+    assert "raise_error" in buf2.getvalue()
