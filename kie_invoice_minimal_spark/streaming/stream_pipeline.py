@@ -171,6 +171,13 @@ def streaming_exact_dedup(transcripts: DataFrame) -> DataFrame:
     )
 
 
+COMPACT_ON_START_EPOCHS = 64  # startup auto-compaction threshold (K):
+#   compact the fact index before opening the stream when more than K
+#   epoch dirs exist.  Sized from the measured O(epochs) listing cost —
+#   at K=64 the per-batch listing stays trivially cheap while compaction
+#   (a full index rewrite) amortizes over ≥K micro-batches per restart.
+
+
 def run_novel_facts_to_parquet(
     spark: SparkSession,
     input_dir: str,
@@ -178,6 +185,7 @@ def run_novel_facts_to_parquet(
     index_dir: str,
     checkpoint_dir: str,
     gap: str = "30 minutes",
+    compact_on_start_epochs: int | None = COMPACT_ON_START_EPOCHS,
 ):
     """Continuous NOVEL-FACT extraction — the streaming twin of
     ``operators.triples.kg_triples_incremental`` (north star: resumable,
@@ -221,10 +229,34 @@ def run_novel_facts_to_parquet(
     loses fingerprints and re-emits old facts as novel), which is
     precisely the transactionality an Iceberg MERGE/rewrite provides on
     the production path.  The local shape is correct for test/dev
-    streams; bound its lifetime or compact offline while the query is
-    stopped.
+    streams; bound its lifetime with the STARTUP AUTO-COMPACTION below,
+    or compact offline (scripts/compact_fact_index.py) while stopped.
+
+    STARTUP AUTO-COMPACTION (r7 next-round item 5 — the operational half
+    the r7 compactor lacked): when more than ``compact_on_start_epochs``
+    epoch dirs exist, the index is compacted HERE, strictly before
+    ``.start()`` — the one moment the stream provably is not running, so
+    the stopped-stream precondition of compact_fact_index holds by
+    construction (ownership contract, unchanged from the sink itself:
+    one writer per index/checkpoint pair — two concurrent starts over
+    the same index were never safe, compaction or not).  Every
+    compactor crash window reads as the old layout (compaction.py), so
+    a crash DURING startup compaction leaves the next start to finish
+    the fold; the highest epoch stays untouched for replay idempotence.
+    With restarts at any cadence the epoch-dir count is bounded by
+    K + batches-per-run instead of growing with stream lifetime
+    (test_fact_index_compaction.py's 30-micro-batch long-run pins the
+    bound and byte-identical output vs a never-compacted control).
+    ``None`` disables (the never-compacted control path).
     """
     from ..operators.text_analysis import mdhash_spark
+    from .compaction import _epoch_dirs, compact_fact_index
+
+    if (
+        compact_on_start_epochs is not None
+        and len(_epoch_dirs(index_dir)) > compact_on_start_epochs
+    ):
+        compact_fact_index(spark, index_dir)
 
     t = streaming_triples(read_transcript_stream(spark, input_dir), gap=gap)
 

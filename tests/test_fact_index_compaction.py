@@ -41,13 +41,22 @@ def _kick(spark, in_dir: str, conv: str, ts: str, n: int = 2) -> None:
         ).parquet(in_dir)
 
 
-def _drain(spark, dirs: dict, appends, kick: tuple[str, str]) -> None:
+def _drain(
+    spark, dirs: dict, appends, kick: tuple[str, str], compact_k=None
+) -> None:
     """Append input, run the novel-fact stream until drained, kick the
-    watermark forward, drain again, stop."""
+    watermark forward, drain again, stop.  ``compact_k`` feeds the sink's
+    startup auto-compaction threshold (None = never compact — the
+    pre-r8 control behavior every pre-existing test ran under)."""
     for df in appends:
         df.write.mode("append").parquet(dirs["in"])
     q = run_novel_facts_to_parquet(
-        spark, dirs["in"], dirs["out"], dirs["idx"], dirs["ckpt"]
+        spark,
+        dirs["in"],
+        dirs["out"],
+        dirs["idx"],
+        dirs["ckpt"],
+        compact_on_start_epochs=compact_k,
     )
     try:
         q.processAllAvailable()
@@ -187,3 +196,79 @@ def test_recompaction_targets_descend(spark, tmp_path):
     assert s2["target"] == -2 and s2["compacted"] == [-1, 2, 3]
     assert _fps(spark, idx) == [10, 11, 12, 13, 14]
     assert sorted(_epoch_dirs(idx)) == [-2, 4]
+
+
+def test_startup_autocompaction_longrun_bounded_and_identical(spark, tmp_path):
+    """r7 next-round item 5 (long-run contract): ≥30 micro-batches across
+    restart cycles at K=8 — pipeline A auto-compacts at every startup,
+    control B never compacts.  A's epoch-dir count stays BOUNDED
+    (≤ K + batches-per-run) instead of growing with stream lifetime,
+    while the cumulative novel-fact output and distinct fp sets stay
+    byte-identical to the control."""
+    from datetime import datetime, timedelta
+
+    K = 8
+    A, B = _mkdirs(tmp_path, "lrA"), _mkdirs(tmp_path, "lrB")
+    n_cycles = 12
+    a_epoch_highwater = 0
+    total_batches = 0
+    for i in range(n_cycles):
+        wave = (
+            synth_transcripts(spark, 40)
+            .withColumn("conv_id", F.concat(F.lit(f"w{i}-"), F.col("conv_id")))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {30 * i} DAYS"))
+        )
+        kick_ts = (datetime(2024, 1, 15) + timedelta(days=30 * i)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        _drain(spark, A, [wave], (f"kick-{i}", kick_ts), compact_k=K)
+        _drain(spark, B, [wave], (f"kick-{i}", kick_ts), compact_k=None)
+        eps_a = _epoch_dirs(A["idx"])
+        a_epoch_highwater = max(a_epoch_highwater, len(eps_a))
+        total_batches = max(eps_a.keys(), default=0)
+    # ≥30 micro-batches actually ran (epoch ids are the batch counter)
+    assert total_batches >= 30, total_batches
+    # bounded: every start folds down past K, and one run adds only the
+    # run's own batches; the control grew with stream lifetime
+    batches_per_run = 4  # wave append + kick (+ watermark-close flushes)
+    assert a_epoch_highwater <= K + batches_per_run, a_epoch_highwater
+    assert len(_epoch_dirs(A["idx"])) < len(_epoch_dirs(B["idx"]))
+    assert len(_epoch_dirs(B["idx"])) >= 30
+    # compaction is invisible: identical novel output, identical fp set
+    assert _facts(spark, A["out"]) == _facts(spark, B["out"])
+    assert _fps(spark, A["idx"]) == _fps(spark, B["idx"])
+
+
+def test_startup_autocompaction_heals_crash_residue(spark, tmp_path):
+    """The crash-window contract re-run THROUGH the startup path: plant
+    both compactor crash residues (pre-rename tmp junk AND post-rename
+    undeleted sources) over an over-K index, then simply START the
+    stream — startup compaction must wipe the residue, fold the layout,
+    and the next wave's novel output must match a clean control."""
+    C, D = _mkdirs(tmp_path, "crA"), _mkdirs(tmp_path, "crB")
+    t1 = synth_transcripts(spark, 200)
+    _drain(spark, C, [t1], ("kick-1", "2024-01-15 00:00:00"), compact_k=None)
+    _drain(spark, D, [t1], ("kick-1", "2024-01-15 00:00:00"), compact_k=None)
+    before = _fps(spark, C["idx"])
+
+    # crash residue 1: torn tmp dir (pre-rename window)
+    tmp = os.path.join(C["idx"], TMP_NAME)
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-junk.parquet"), "wb") as f:
+        f.write(b"torn residue")
+    # crash residue 2: a previous compaction that died post-rename —
+    # negative target present AND its sources still on disk
+    compact_fact_index(spark, C["idx"], _delete_sources=False)
+    assert os.path.exists(os.path.join(C["idx"], "epoch=-1"))
+    assert _fps(spark, C["idx"]) == before  # duplicates harmless
+
+    t2 = (
+        t1.withColumn("conv_id", F.concat(F.lit("w2-"), F.col("conv_id")))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    )
+    # K=0: any startup with >0 epochs compacts — forces the startup path
+    _drain(spark, C, [t2], ("kick-2", "2024-06-01 00:00:00"), compact_k=0)
+    _drain(spark, D, [t2], ("kick-2", "2024-06-01 00:00:00"), compact_k=None)
+    assert not os.path.exists(tmp)  # residue wiped by the startup fold
+    assert _facts(spark, C["out"]) == _facts(spark, D["out"])
+    assert _fps(spark, C["idx"]) == _fps(spark, D["idx"])
