@@ -47,36 +47,42 @@ def test_oracle_registry_is_consistent():
     assert set(qs) - set(os_) == set()
 
 
-def test_certification_window_holds_round7_critical_entries():
+def test_certification_window_holds_round8_critical_entries():
     """The driver snapshots exactly the first 50 queries() entries, so
-    every round-7 changed/new operator and the r04-stale rotation tranche
+    every round-8 changed/new operator and the r05-stale rotation tranche
     MUST sit inside positions 0-49 (see the queries() docstring).  This
     pins the ordering mechanically so a refactor cannot silently push a
     needs-certification entry past the cutoff."""
     names = list(entrymod.queries())
     first50 = set(names[:50])
     critical = {
-        # changed in round 7: capped_conv_surfaces common-path refund +
-        # PageRank headroom guard re-plan every comention-graph consumer
+        # changed in round 8: per-conversation over-cap routing + the
+        # LPA/k-core headroom guards re-plan every comention-graph consumer
         "kg_entity_pagerank", "kg_canonical_pagerank",
         "kg_canonical_pagerank_staged", "kg_canonical_pagerank_derive",
         "kg_triangle_counts", "kg_khop_counts", "kg_khop_kmv",
         "kg_common_neighbors", "kg_export_neighbors",
         "kg_degree_distribution", "kg_edge_lift", "kg_kcore",
         "kg_communities",
-        # changed in round 7: offset-overflow guard (r6 ADVICE item 3)
-        "mm_frame_hash_dedup",
-        # new in round 7: near-dup frame detection (r6 verdict item 5)
-        "mm_frame_minhash_pairs",
-        # new in round 7: the cap-coverage monitor
-        "kg_conv_fanout",
-        # the eighteen r04-stale entries (r6 verdict item 1)
-        "mm_frame_sample", "r3_text_encode", "e4_graph_norm",
-        "a10_accuracy", "o3_confusion_matrix", "o2_mention_output",
-        "p8_trim_conversations", "rollup_doc_stats", "s2_json_props",
-        "s3_mapping_join", "ta_mixture_sample", "ta_curate_corpus_v2",
-        "ss_topk_docs", "el_entity_map", "ev_retention_cohorts",
-        "stats_linear_fit", "dd_incremental", "ev_funnel_stages",
+        # new in round 8: the staged graph-family prefix
+        "kg_entity_pagerank_staged", "kg_entity_pagerank_derive",
+        # changed in round 8: single-definition frame-fp scheme
+        "mm_frame_hash_dedup", "mm_frame_minhash_pairs",
+        # the twenty-nine r05-stale entries (r7 verdict item 1)
+        "kg_mentions_rescan", "dd_band_clusters", "cc_event_pairs",
+        "e2_band_self_join", "dd_lsh_verified_dups",
+        "ss_lsh_multitable_ann", "ta_pack_sequences", "dd_contamination",
+        "a2a3_message_pass", "g5_turn_rank", "g5_merge_conversations",
+        "g4_realign_semi_join", "setop_split_check",
+        "asof_click_after_view", "stats_percentiles", "w_ntile_lag",
+        "w_range_frame", "cube_doc_stats", "grouping_sets_doc_stats",
+        "tpch_q1_pricing", "sessionize_events", "ta_repetition_filter",
+        "ta_redact_spans", "g3_nearest_neighbor", "dd_minhash_signatures",
+        "dd_minhash_lsh_pairs", "dd_ngram_jaccard", "dd_embedding_cosine",
+        "dd_dup_clusters",
     }
     missing = critical - first50
     assert not missing, f"pushed past the 50-entry snapshot: {sorted(missing)}"
+    # the window is exactly full: flagship 4 + 29 stale + 17 r8 entries
+    assert len(critical | {"kg_triples", "kg_triples_native",
+                           "kg_mentions", "kg_mentions_merged"}) == 50
