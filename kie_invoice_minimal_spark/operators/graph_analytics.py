@@ -1720,3 +1720,145 @@ WITH {_lift_cte(mentions_sql)},
 {body}
 SELECT node AS surface, label AS community FROM {prev}
 """
+
+
+# --- deterministic GraphSAGE-style neighbor sampling (GNN training batches) ----------
+
+NS_FAN1 = 4  # hop-1 fan-out; small so the sf0.01 fixture exercises the
+NS_FAN2 = 2  # SAMPLING branch (degrees > fan), not just pass-through
+
+
+def _dual_sampled_adjacency(e: DataFrame, fan1: int, fan2: int) -> DataFrame:
+    """(src, dst, in1, in2): BOTH hop samples in one pass.  in1 marks
+    each node's top-``fan1`` neighbors by the md5-derived order
+    mdhash('h1', src, dst); in2 the top-``fan2`` by the 'h2'-salted
+    order — the deterministic stand-in for uniform neighbor sampling (a
+    keyed hash over the edge is uniform across re-runs AND reproducible,
+    so training batches are replayable; rand() would break the oracle
+    gate and resume).  The salts decorrelate the hop-1 and hop-2 draws
+    — with one salt hop-2 samples would be a prefix of hop-1's.
+
+    Same two-level selection as capped_adjacency so no hub sorts its
+    whole adjacency in one task — and FUSED: both samples' row_numbers
+    ride the SAME per-(src, salt-cell) exchange (windows that share
+    partitioning share the exchange; only the sort differs), level-1
+    keeps rows surviving EITHER cell-level cut, and the level-2
+    row_numbers over that union ride one exchange by src.  Counting the
+    other sample's survivors cannot perturb a sample's global top-fan:
+    a row outside its cell's top-``fan`` has >= fan cell-mates ordering
+    before it, all of which also survive level 1 — so no such row can
+    precede a true global-top-``fan`` row in the level-2 sort, and
+    row_number over the union EQUALS the single-window top-``fan`` the
+    DuckDB twin runs (the capped_adjacency argument, applied to the
+    union).  4 window exchanges -> 2."""
+    from .text_analysis import mdhash_spark
+
+    k1 = mdhash_spark(F.concat_ws("\x1f", F.lit("h1"), "src", "dst"))
+    k2 = mdhash_spark(F.concat_ws("\x1f", F.lit("h2"), "src", "dst"))
+    cell = F.pmod(F.xxhash64("dst"), F.lit(_KHOP_SALT))
+    wc1 = Window.partitionBy("src", cell).orderBy(k1.asc(), F.asc("dst"))
+    wc2 = Window.partitionBy("src", cell).orderBy(k2.asc(), F.asc("dst"))
+    surv = (
+        e.select("src", "dst")
+        .withColumn("c1", F.row_number().over(wc1))
+        .withColumn("c2", F.row_number().over(wc2))
+        .filter((F.col("c1") <= fan1) | (F.col("c2") <= fan2))
+    )
+    wg1 = Window.partitionBy("src").orderBy(k1.asc(), F.asc("dst"))
+    wg2 = Window.partitionBy("src").orderBy(k2.asc(), F.asc("dst"))
+    return surv.select(
+        "src",
+        "dst",
+        (F.row_number().over(wg1) <= fan1).alias("in1"),
+        (F.row_number().over(wg2) <= fan2).alias("in2"),
+    )
+
+
+def neighbor_sample(
+    e: DataFrame, fan1: int = NS_FAN1, fan2: int = NS_FAN2
+) -> DataFrame:
+    """(seed, hop, parent, node): 2-hop GraphSAGE-style fan-out sample
+    rooted at EVERY node — the mini-batch neighborhoods a GNN trainer
+    consumes (Hamilton et al. 2017).  The reference trains its GCN on the
+    FULL per-document graph (models/gated_gcn.py:329-362 builds every
+    edge of one invoice); at corpus scale the training analog is sampled
+    neighborhoods over the global co-mention graph, and the sampler —
+    not the model — is the data-engine's job.
+
+    hop-1 rows: (u, 1, u, v) for v in S1(u), S1 = per-node top-``fan1``
+    by the 'h1'-salted hash order.  hop-2 rows: (u, 2, v, w) for v in
+    S1(u), w in S2(v) — S2 is one SHARED per-node top-``fan2`` table
+    ('h2' salt), joined behind hop-1, the histogram-style reuse
+    production samplers make (one sample pass + one bounded equi-join,
+    |S1| <= N*fan1 rows joining |S2| <= N*fan2, instead of a per-seed
+    re-draw whose candidate set is sum_deg(v) rows).  Revisits (w == u
+    or w in S1(u)) are kept, as in GraphSAGE.  Deterministic, so
+    training batches replay byte-identically across restarts."""
+    # one eager cut: the dual sample table is consumed three times
+    # (hop-1 rows, both hop-2 join sides) and is BOUNDED at
+    # N*(fan1+fan2) rows — materialized once, the two window passes
+    # over the full edge set run once instead of per-consumer (the
+    # capped_conv_surfaces precedent)
+    both = _dual_sampled_adjacency(e, fan1, fan2).localCheckpoint()
+    s1 = both.filter(F.col("in1")).select("src", "dst")
+    s2 = both.filter(F.col("in2")).select("src", "dst")
+    hop1 = s1.select(
+        F.col("src").alias("seed"),
+        F.lit(1).cast("int").alias("hop"),
+        F.col("src").alias("parent"),
+        F.col("dst").alias("node"),
+    )
+    hop2 = (
+        s1.select(F.col("src").alias("seed"), F.col("dst").alias("parent"))
+        .join(
+            s2.select(F.col("src").alias("parent"), F.col("dst").alias("node")),
+            "parent",
+        )
+        .select(
+            "seed", F.lit(2).cast("int").alias("hop"), "parent", "node"
+        )
+    )
+    return hop1.unionByName(hop2)
+
+
+def kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: 2-hop sampled neighborhoods for every entity in
+    the co-mention graph — the GNN-training mini-batch feed (see
+    neighbor_sample).  Edges localCheckpointed once: both hops' sample
+    windows and the hop-2 join read the SAME materialized edge set, not
+    three re-runs of the detector lineage."""
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    return neighbor_sample(comention_edges(m).localCheckpoint())
+
+
+def neighbor_sample_sql(
+    mentions_sql: str, fan1: int = NS_FAN1, fan2: int = NS_FAN2
+) -> str:
+    """DuckDB twin — single-window top-``fan`` per node (value-equal to
+    the Spark side's two-level selection), same md5 sample order."""
+    from .text_analysis import MDHASH_SQL
+
+    def samp(fan: int, salt: str) -> str:
+        key = MDHASH_SQL(f"concat_ws(chr(31), '{salt}', src, dst)")
+        return f"""(
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src ORDER BY {key}, dst) AS rn
+    FROM e
+  ) WHERE rn <= {fan}
+)"""
+
+    return f"""
+WITH {_graph_cte(mentions_sql)},
+s1 AS MATERIALIZED {samp(fan1, 'h1')},
+s2 AS MATERIALIZED {samp(fan2, 'h2')}
+SELECT seed, hop, parent, node FROM (
+  SELECT src AS seed, 1 AS hop, src AS parent, dst AS node FROM s1
+  UNION ALL
+  SELECT s1.src AS seed, 2 AS hop, s1.dst AS parent, s2.dst AS node
+  FROM s1 JOIN s2 ON s2.src = s1.dst
+)
+"""
