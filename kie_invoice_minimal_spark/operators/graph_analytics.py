@@ -1862,3 +1862,177 @@ SELECT seed, hop, parent, node FROM (
   FROM s1 JOIN s2 ON s2.src = s1.dst
 )
 """
+
+
+# --- deterministic negative edge sampling (KGE / unsupervised-GNN training) ----------
+
+NEG_K = 2  # negatives kept per positive edge
+NEG_TRIALS = 6  # hash draws per edge; > k so rejections rarely starve an edge
+
+
+def _dense_node_index(nodes: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """(node, idx): a dense 0-based index over distinct nodes in node-ASC
+    order — the draw table negative sampling maps hashes onto.  Same
+    two-phase pattern as _global_rank (range partition + local
+    row_number + broadcast triangular offsets) because the naive
+    row_number() OVER (ORDER BY node) drags every node through ONE
+    window task; node is unique so the global index is
+    partition-boundary-independent.  localCheckpoint for the same
+    three-branch fan-out reason as _global_rank."""
+    if n_parts is None:
+        try:
+            n_parts = int(
+                nodes.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n_parts = PR_RANK_PARTS
+        n_parts = max(1, n_parts)
+    part = (
+        nodes.repartitionByRange(n_parts, F.asc("node"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wl = Window.partitionBy("pid").orderBy(F.asc("node"))
+    local = part.withColumn("lrn", F.row_number().over(wl))
+    counts = part.groupBy("pid").agg(F.count("*").cast("long").alias("cnt"))
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(y, F.col("y.pid") < F.col("x.pid"), "left")
+        .groupBy(F.col("x.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("y.cnt"), F.lit(0)).cast("long").alias("off"))
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        "node", (F.col("lrn") + F.col("off") - 1).cast("bigint").alias("idx")
+    )
+
+
+def negative_sample(
+    e: DataFrame, k: int = NEG_K, trials: int = NEG_TRIALS
+) -> DataFrame:
+    """(src, dst, trial, neg): up to ``k`` NEGATIVE nodes per positive
+    co-mention edge — the corruption feed KGE objectives (TransE-style
+    dst replacement) and GraphSAGE's unsupervised loss consume next to
+    the neighbor_sample positives.  Draw ``trials`` candidates per edge
+    by the keyed md5 order (idx = mdhash('ng', src, dst, trial) mod N
+    into a dense node index — uniform across re-runs AND replayable;
+    rand() would break the oracle gate and resume), REJECT candidates
+    that are the source itself or a true neighbor of src (false
+    negatives poison the loss), dedup repeated draws per edge (min
+    trial wins), keep the first ``k`` survivors by trial order.  Edges
+    with more rejections than spare trials keep < k — documented,
+    deterministic, and mirrored in the twin (no rejection-resample loop
+    for the engines to disagree on).
+
+    Scale shape: every stage is bounded — draws are |E|·trials rows
+    joined on idx against the N-row node index (plain equi-joins, no
+    broadcast of input-proportional sides), the false-negative check is
+    one anti-join against the edge set, and the per-edge top-k window
+    partitions by (src, dst) with group size ≤ trials.  N rides the
+    plan as a broadcast 1-row count (no driver action).  The dense
+    index is the one global total order, built two-phase like
+    _global_rank — no single-task window anywhere."""
+    from .text_analysis import mdhash_spark
+
+    e0 = e.select("src", "dst").localCheckpoint()
+    # the index is consumed twice (the N count and the idx join) and its
+    # build carries a range exchange + window + triangular offset join —
+    # checkpoint once so neither consumer replays it
+    nodes = _dense_node_index(
+        e0.select(F.col("src").alias("node")).distinct()
+    ).localCheckpoint()
+    ntab = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    draws = (
+        e0.crossJoin(F.broadcast(ntab))
+        .select(
+            "src",
+            "dst",
+            "n_nodes",
+            F.explode(F.sequence(F.lit(0), F.lit(trials - 1))).alias("trial"),
+        )
+        .withColumn(
+            "idx",
+            F.pmod(
+                mdhash_spark(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit("ng"),
+                        "src",
+                        "dst",
+                        F.col("trial").cast("string"),
+                    )
+                ),
+                F.col("n_nodes"),
+            ),
+        )
+    )
+    cand = draws.join(nodes, "idx").select(
+        "src", "dst", "trial", F.col("node").alias("neg")
+    )
+    surv = cand.filter(F.col("neg") != F.col("src")).join(
+        e0.select("src", F.col("dst").alias("neg")), ["src", "neg"], "left_anti"
+    )
+    first = surv.groupBy("src", "dst", "neg").agg(
+        F.min("trial").cast("int").alias("trial")
+    )
+    w = Window.partitionBy("src", "dst").orderBy(F.asc("trial"))
+    return (
+        first.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst", "trial", "neg")
+    )
+
+
+def kg_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the negative-edge training feed for the co-mention
+    graph (see negative_sample) — together with kg_neighbor_sample the
+    full GNN mini-batch input (positives' neighborhoods + negatives).
+    The reference trains on full per-document graphs with no negative
+    sampling (models/gated_gcn.py:329-362 — node classification, not
+    link prediction); at corpus scale link-level objectives need
+    corruption sampling, and the sampler is the data engine's job."""
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    return negative_sample(comention_edges(m))
+
+
+def negative_sample_sql(
+    mentions_sql: str, k: int = NEG_K, trials: int = NEG_TRIALS
+) -> str:
+    """DuckDB twin — single-window dense index (value-equal to the
+    two-phase Spark build: node is unique), same md5 draw order, same
+    reject/dedup/top-k."""
+    from .text_analysis import MDHASH_SQL
+
+    key = MDHASH_SQL(
+        "concat_ws(chr(31), 'ng', e.src, e.dst, CAST(t.trial AS VARCHAR))"
+    )
+    return f"""
+WITH {_graph_cte(mentions_sql)},
+nodes AS MATERIALIZED (
+  SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT src AS node FROM e)
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+draws AS (
+  SELECT e.src, e.dst, t.trial, {key} % nn.n_nodes AS idx
+  FROM e CROSS JOIN nn CROSS JOIN generate_series(0, {trials - 1}) AS t(trial)
+),
+surv AS (
+  SELECT c.src, c.dst, c.trial, c.neg FROM (
+    SELECT d.src, d.dst, d.trial, nodes.node AS neg
+    FROM draws d JOIN nodes USING (idx)
+  ) c
+  WHERE c.neg <> c.src
+    AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.src AND e.dst = c.neg)
+),
+first AS (
+  SELECT src, dst, neg, CAST(min(trial) AS INT) AS trial
+  FROM surv GROUP BY src, dst, neg
+)
+SELECT src, dst, trial, neg FROM (
+  SELECT f.*, row_number() OVER (PARTITION BY src, dst ORDER BY trial) AS rn
+  FROM first f
+) WHERE rn <= {k}
+"""
