@@ -103,3 +103,22 @@ def test_replay_is_byte_identical(spark):
 def test_empty_graph(spark):
     e = _edges_df(spark, []).filter(F.lit(False))
     assert negative_sample(e).count() == 0
+
+
+def test_dense_index_is_partition_boundary_independent(spark):
+    """The docstring claim: node is unique, so the two-phase global index
+    equals the single-window index for ANY range-partition count."""
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        _dense_node_index,
+    )
+
+    nodes = spark.createDataFrame(
+        [(f"n{i:03d}",) for i in range(57)], "node string"
+    )
+    expect = {(f"n{i:03d}", i) for i in range(57)}
+    for n_parts in (1, 7, 64):
+        got = {
+            (r.node, r.idx)
+            for r in _dense_node_index(nodes, n_parts=n_parts).collect()
+        }
+        assert got == expect
