@@ -968,15 +968,23 @@ def kg_entity_pagerank_derive(spark, sf_dir: str, root: str) -> DataFrame:
 
 def graph_family_staged(spark, sf_dir: str, root: str) -> dict[str, DataFrame]:
     """The whole plain-graph family derived from ONE graph_snapshots run
-    — the suite's 13 probe jobs collapse to 1 on this path (pinned by
+    — the suite's probe jobs collapse to 1 on this path (pinned by
     test_r8_graph_stage.py, which counts CAP_PATH_STATS probes across
-    the full family build).  Canonical-pagerank entries are not here:
-    their capped table is built over ALIAS-RESOLVED mentions, a
-    different upstream (they stage via staged_snapshots instead)."""
+    the full family build).  Includes the two r8 training-feed samplers
+    (neighbor/negative): in production the GNN feed derives from the
+    SAME maintained edge snapshots as the analytics, so a training run
+    re-probes and re-materializes nothing.  Canonical-pagerank entries
+    are not here: their capped table is built over ALIAS-RESOLVED
+    mentions, a different upstream (they stage via staged_snapshots
+    instead)."""
     done = graph_snapshots(spark, sf_dir, root)
     cs, e = done["capped_surfaces"], done["edges"]
     le = lifted_edges_from_surfaces(cs)
     return {
+        # no extra edge checkpoint here: e is already a parquet-backed
+        # snapshot, so each consumer's re-read is a scan, not a lineage
+        "kg_neighbor_sample": neighbor_sample(e),
+        "kg_negative_sample": negative_sample(e),
         "kg_entity_pagerank": pagerank(e),
         "kg_triangle_counts": triangle_counts(e),
         "kg_khop_counts": khop_counts(e),

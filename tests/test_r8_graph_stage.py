@@ -22,7 +22,7 @@ def test_family_build_runs_exactly_one_probe(spark, tmp_path):
     root = str(tmp_path / "gstage")
     before = dict(GA.CAP_PATH_STATS)
     fam = GA.graph_family_staged(spark, SF, root)
-    assert len(fam) == 10
+    assert len(fam) == 12
     for name, df in fam.items():
         assert df.count() >= 0, name  # materialize every member
     after = dict(GA.CAP_PATH_STATS)
@@ -47,10 +47,13 @@ def test_cold_family_pays_one_probe_each(spark):
 
 def test_staged_family_values_equal_cold(spark, tmp_path):
     """staged == cold for every family member (same oracle semantics; the
-    driver gate certifies the pagerank pair, this pins the other eight)."""
+    driver gate certifies the pagerank pair, this pins the other ten,
+    including the two r8 training-feed samplers)."""
     root = str(tmp_path / "gstage_eq")
     fam = GA.graph_family_staged(spark, SF, root)
     cold = {
+        "kg_neighbor_sample": GA.kg_neighbor_sample,
+        "kg_negative_sample": GA.kg_negative_sample,
         "kg_entity_pagerank": GA.kg_entity_pagerank,
         "kg_triangle_counts": GA.kg_triangle_counts,
         "kg_khop_counts": GA.kg_khop_counts,
