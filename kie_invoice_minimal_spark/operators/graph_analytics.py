@@ -1942,12 +1942,13 @@ def negative_sample(
     from .text_analysis import mdhash_spark
 
     e0 = e.select("src", "dst").localCheckpoint()
-    # the index is consumed twice (the N count and the idx join) and its
-    # build carries a range exchange + window + triangular offset join —
-    # checkpoint once so neither consumer replays it
-    nodes = _dense_node_index(
-        e0.select(F.col("src").alias("node")).distinct()
-    ).localCheckpoint()
+    # the index has two consumers (the N count and the idx join) but no
+    # eager outer checkpoint: _dense_node_index already cuts its build
+    # at the range-partitioned node table, so each consumer replays
+    # only the cheap post-checkpoint tail (a window + a triangular
+    # offset join over N rows) — an extra barrier here measured SLOWER
+    # than the replay at both 2 and 8 cores (2M-edge graph)
+    nodes = _dense_node_index(e0.select(F.col("src").alias("node")).distinct())
     ntab = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
     draws = (
         e0.crossJoin(F.broadcast(ntab))
@@ -1957,8 +1958,10 @@ def negative_sample(
             "n_nodes",
             F.explode(F.sequence(F.lit(0), F.lit(trials - 1))).alias("trial"),
         )
-        .withColumn(
-            "idx",
+        .select(  # n_nodes must not ride the 12M-row draw shuffle
+            "src",
+            "dst",
+            "trial",
             F.pmod(
                 mdhash_spark(
                     F.concat_ws(
@@ -1970,7 +1973,7 @@ def negative_sample(
                     )
                 ),
                 F.col("n_nodes"),
-            ),
+            ).alias("idx"),
         )
     )
     cand = draws.join(nodes, "idx").select(
@@ -1979,14 +1982,49 @@ def negative_sample(
     surv = cand.filter(F.col("neg") != F.col("src")).join(
         e0.select("src", F.col("dst").alias("neg")), ["src", "neg"], "left_anti"
     )
-    first = surv.groupBy("src", "dst", "neg").agg(
-        F.min("trial").cast("int").alias("trial")
-    )
-    w = Window.partitionBy("src", "dst").orderBy(F.asc("trial"))
+    # dedup + top-k FUSED into one groupBy and an in-group array fold:
+    # iterating trials ascending and keeping the first k DISTINCT negs
+    # is identical to "min trial per neg, then first k by trial" (a
+    # kept neg's later re-draws are skipped, and a neg first drawn
+    # after the k-th keeper can never outrank it), so the twin's
+    # groupBy+window shape needs only ONE survivor shuffle here —
+    # groups are ≤ trials rows, the fold is whole-stage-codegen'd.
+    # Two-param lambdas only, no defaults (CLAUDE.md: PySpark binds
+    # the array index to a second parameter with defaults).
+    kept0 = F.array().cast("array<struct<trial:int,neg:string>>")
     return (
-        first.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("src", "dst", "trial", "neg")
+        surv.groupBy("src", "dst")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("trial").cast("int").alias("trial"),
+                        F.col("neg").alias("neg"),
+                    )
+                )
+            ).alias("cands")
+        )
+        .select(
+            "src",
+            "dst",
+            F.explode(
+                F.aggregate(
+                    "cands",
+                    kept0,
+                    lambda kept, x: F.when(
+                        (F.size(kept) < k)
+                        & ~F.exists(kept, lambda y: y["neg"] == x["neg"]),
+                        F.concat(kept, F.array(x)),
+                    ).otherwise(kept),
+                )
+            ).alias("kn"),
+        )
+        .select(
+            "src",
+            "dst",
+            F.col("kn.trial").alias("trial"),
+            F.col("kn.neg").alias("neg"),
+        )
     )
 
 
