@@ -1934,8 +1934,9 @@ def negative_sample(
     Scale shape: every stage is bounded — draws are |E|·trials rows
     joined on idx against the N-row node index (plain equi-joins, no
     broadcast of input-proportional sides), the false-negative check is
-    one anti-join against the edge set, and the per-edge top-k window
-    partitions by (src, dst) with group size ≤ trials.  N rides the
+    one anti-join against the edge set, and the per-edge dedup+top-k is
+    ONE groupBy(src, dst) with an in-group array fold over ≤ trials
+    rows (no window, no second survivor shuffle).  N rides the
     plan as a broadcast 1-row count (no driver action).  The dense
     index is the one global total order, built two-phase like
     _global_rank — no single-task window anywhere."""
