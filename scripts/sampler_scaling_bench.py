@@ -36,6 +36,7 @@ def child(op: str, cpus: int) -> None:
     from kie_invoice_minimal_spark.operators.graph_analytics import (
         negative_sample,
         neighbor_sample,
+        random_walks,
     )
     from kie_invoice_minimal_spark.session import get_spark
 
@@ -65,7 +66,11 @@ def child(op: str, cpus: int) -> None:
             .distinct()
         )
 
-    fn = {"neighbor": neighbor_sample, "negative": negative_sample}[op]
+    fn = {
+        "neighbor": neighbor_sample,
+        "negative": negative_sample,
+        "walks": random_walks,
+    }[op]
 
     # untimed warmup: same code path, 1% of the graph
     fn(edges(1_000, 4).localCheckpoint()).write.format("noop").mode(
@@ -105,7 +110,7 @@ def main() -> None:
         return rec
 
     summary = {"n_nodes": N_NODES, "avg_deg": AVG_DEG, "ops": {}}
-    for op in ("neighbor", "negative"):
+    for op in ("neighbor", "negative", "walks"):
         lows, highs = [], []
         for _ in range(args.reps):  # interleaved so drift hits both arms
             lows.append(leg(op, args.low)["wall_s"])

@@ -22,7 +22,7 @@ def test_family_build_runs_exactly_one_probe(spark, tmp_path):
     root = str(tmp_path / "gstage")
     before = dict(GA.CAP_PATH_STATS)
     fam = GA.graph_family_staged(spark, SF, root)
-    assert len(fam) == 12
+    assert len(fam) == 13
     for name, df in fam.items():
         assert df.count() >= 0, name  # materialize every member
     after = dict(GA.CAP_PATH_STATS)
@@ -54,6 +54,7 @@ def test_staged_family_values_equal_cold(spark, tmp_path):
     cold = {
         "kg_neighbor_sample": GA.kg_neighbor_sample,
         "kg_negative_sample": GA.kg_negative_sample,
+        "kg_random_walks": GA.kg_random_walks,
         "kg_entity_pagerank": GA.kg_entity_pagerank,
         "kg_triangle_counts": GA.kg_triangle_counts,
         "kg_khop_counts": GA.kg_khop_counts,

@@ -113,3 +113,39 @@ def test_negative_sample_sql_equals_python_model(pairs):
         expect |= {(s, d, t, n) for t, n in kept}
     got = set(map(tuple, _run_sql(pairs, negative_sample_sql(MENTIONS_SQL))))
     assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(MENTION, min_size=0, max_size=40))
+def test_random_walks_sql_equals_python_model(pairs):
+    from kie_invoice_minimal_spark.operators.graph_analytics import (
+        RW_LEN,
+        RW_WALKS,
+        random_walks_sql,
+    )
+
+    # weighted symmetric comention edges (the `e` CTE: w = conversations)
+    cs = {(f"c{c}", s) for c, s in pairs}
+    ew: dict = defaultdict(int)
+    for ca, sa in cs:
+        for cb, sb in cs:
+            if ca == cb and sa != sb:
+                ew[(sa, sb)] += 1
+    adj: dict = defaultdict(list)
+    for (s, d), w in ew.items():
+        adj[s].append((-w, d))
+    nbrs = {s: [d for _w, d in sorted(lst)] for s, lst in adj.items()}
+    # fuzz degrees ≤ 6 ≪ RW_CAP, so the uncapped model is the capped one
+    expect = set()
+    for seed in nbrs:
+        for w in range(RW_WALKS):
+            node = seed
+            expect.add((seed, w, 0, node))
+            for t in range(1, RW_LEN + 1):
+                lst = nbrs.get(node)
+                if not lst:
+                    break
+                node = lst[_mdhash(f"rw{US}{seed}{US}{w}{US}{t}") % len(lst)]
+                expect.add((seed, w, t, node))
+    got = set(map(tuple, _run_sql(pairs, random_walks_sql(MENTIONS_SQL))))
+    assert got == expect
