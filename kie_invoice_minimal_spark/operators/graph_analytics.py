@@ -2148,6 +2148,10 @@ def random_walks(
 
     from .text_analysis import mdhash_spark
 
+    # (measured non-fix: repartition("src") before this checkpoint does
+    # NOT spare the per-step adjacency exchange — LogicalRDD drops the
+    # partitioning, verified on the step join's executedPlan — so the
+    # plain checkpoint stays)
     adj = _indexed_adjacency(e, cap).localCheckpoint()
     cur = (
         adj.select("src")

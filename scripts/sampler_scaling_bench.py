@@ -64,6 +64,11 @@ def child(op: str, cpus: int) -> None:
             )
             .filter(F.col("src") != F.col("dst"))
             .distinct()
+            # deterministic non-trivial weights so the walks' indexed
+            # adjacency ordering (w DESC, dst) is exercised
+            .withColumn(
+                "w", (F.pmod(F.xxhash64("src", "dst"), F.lit(9)) + 1).cast("long")
+            )
         )
 
     fn = {
