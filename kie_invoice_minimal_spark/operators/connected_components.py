@@ -51,14 +51,19 @@ def _min_neighbor(edges: DataFrame, include_self: bool) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Symmetrize; per u re-hang strictly-larger neighbors onto m."""
+    """Symmetrize; per u re-hang strictly-larger neighbors onto m.
+
+    No .distinct() on the output (r9): duplicates are harmless to every
+    consumer (_small_star's mins are duplicate-insensitive, the round's
+    final distinct dedupes), the output row count is bounded by |sym|
+    with or without it, and dropping the exchange removes one shuffle
+    from every CC round."""
     sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = _min_neighbor(sym, include_self=True)
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -70,7 +75,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     mins = _min_neighbor(oriented, include_self=False)  # v < u always, so min over N< suffices
     withm = oriented.join(mins, "u")
     hang_nbrs = withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
-    hang_self = withm.select("u", F.col("m").alias("v")).distinct()
+    # no inner distinct on hang_self (r9): the union's trailing distinct
+    # already dedupes — the inner one only added a shuffle per round
+    hang_self = withm.select("u", F.col("m").alias("v"))
     return hang_nbrs.union(hang_self).filter(F.col("u") != F.col("v")).distinct()
 
 
@@ -105,23 +112,31 @@ def connected_components(edges: DataFrame, stats: dict | None = None) -> DataFra
     north rule asks the pipeline to report.
     """
     spark = edges.sparkSession
+    # one pre-loop job (r9): the input edge count rides the initial
+    # checkpoint as an Observation — previously the emptiness probe
+    # (isEmpty) and the nodes materialization were two additional eager
+    # jobs before the first round
+    obs0 = _fingerprint_obs()
     cur = (
         edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
+    n_input = int(obs0.get["n"])
+    if n_input == 0:
+        return spark.createDataFrame([], "node long, component long")
+    # lazy over the initial checkpoint — rebuilt inside the final job's
+    # roots anti-join instead of paying its own materialization
     nodes = (
         cur.select(F.col("u").alias("node"))
         .union(cur.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
-    if cur.isEmpty():
-        return spark.createDataFrame([], "node long, component long")
 
     if stats is not None:
-        stats["input_edges"] = cur.count()
+        stats["input_edges"] = n_input
         stats["nodes"] = nodes.count()
 
     prev_fp = None

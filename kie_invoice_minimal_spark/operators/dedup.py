@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.scan import spread_scan
 from .text_analysis import MDHASH_SQL, mdhash_spark
 
 MINHASH_K = 8  # signature length
@@ -40,7 +41,12 @@ COSINE_THS = 0.4  # synthetic embeddings are near-orthogonal; 0.4 marks the plan
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_scan: the shingle→md5 passes below are the dd family's CPU
+    # cost; on a single-row-group bench file they would otherwise run on
+    # ONE scan task (guide §2.5 input skew; no-op on real multi-split
+    # inputs)
+    path = f"{sf_dir}/documents.parquet"
+    return spread_scan(spark.read.parquet(path), path)
 
 
 # --- exact dedup ---------------------------------------------------------------
@@ -435,15 +441,23 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine verify at COSINE_THS.  Dot/norm as sequential double folds
     so both engines sum in the same order."""
     e = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        spread_scan(
+            # spread_scan (round 9): the 32-plane signature fold below is
+            # ~2 s of interpreted HOF work on a one-task scan; the keyless
+            # round-robin spread parallelizes it without the keyed
+            # repartition("vec_id") that the round-2 A/B measured ~1.8x
+            # SLOWER (that one re-planned the downstream joins; this one
+            # is upstream of the band explode and vanishes on real
+            # multi-split inputs)
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+            f"{sf_dir}/embeddings.parquet",
+        )
         # norms once per row, not once per pair
         .withColumn(
             "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x))
         )
-        # NO repartition here: the vector table is small and the cost lives
-        # in the pair verify, not the scan — a forced exchange measured
-        # ~1.8x SLOWER (it changes AQE's join planning downstream)
     )
     bands = e.select(
         "vec_id", F.explode(_dd_cos_band_structs()).alias("bd")

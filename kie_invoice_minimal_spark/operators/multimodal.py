@@ -433,9 +433,7 @@ def frame_minhash_pairs(docs: DataFrame) -> DataFrame:
 def mm_frame_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup frame detection over the documents fixture (see
     frame_minhash_pairs)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return frame_minhash_pairs(docs)
 
 

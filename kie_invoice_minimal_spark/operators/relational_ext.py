@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rules import ALPHABET, NODE_LABELS
 from ..functions import duckdb_oracle
+from ..sources.scan import spread_scan
 from ..sources.transcripts import transcripts_from_documents
 from .mention_detect import detect_mentions_arrow
 from .relational import ROUND_DP
@@ -26,7 +27,10 @@ SPACE_IDX = ALPHABET.index(" ") + 1  # 63
 def r3_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed width 50 mirrors train_kie.py:44-56; whole expression in SQL so
     # the per-char index lambda stays a single codegen'd expression
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"),
+        f"{sf_dir}/documents.parquet",
+    )
     return d.select(
         "doc_id",
         F.expr(
@@ -531,7 +535,12 @@ FROM documents GROUP BY ROLLUP(lang, source)
 def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark percentile() and
     DuckDB quantile_cont share the continuous definition)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = spread_scan(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_returnflag", "l_extendedprice"
+        ),
+        f"{sf_dir}/lineitem.parquet",
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.scan import spread_scan
+
 STOPWORDS_EN = ("the", "a", "of", "and", "to")
 # token profiles for the toy lang-id heuristic (deterministic, mirrored in SQL)
 PROFILES = {
@@ -54,7 +56,11 @@ def ngram_array(toks, n: int):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_scan: tokenize/ngram/md5 passes run on the scan task; fan a
+    # single-row-group bench file out to the cores (no-op on real
+    # multi-split inputs — see sources/scan.py)
+    path = f"{sf_dir}/documents.parquet"
+    return spread_scan(spark.read.parquet(path), path)
 
 
 # --- token counting ----------------------------------------------------------
@@ -736,12 +742,18 @@ def doc_vectors(docs: DataFrame) -> DataFrame:
     (doc_id, bucket), no per-row Python."""
     toks = F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
     t = docs.select("doc_id", toks)
+    # hash each token ONCE (r9): the previous version inlined the md5
+    # chain into both the bucket and the sign expression, so every token
+    # paid two md5 evaluations; aliasing it in its own projection keeps
+    # it a single evaluation (CollapseProject does not duplicate non-cheap
+    # exprs referenced more than once).  Values unchanged.
     h_sql = "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
-    cell = t.select(
+    th = t.select("doc_id", F.expr(h_sql).alias("h"))
+    cell = th.select(
         "doc_id",
-        F.expr(f"CAST(pmod({h_sql}, {DV_DIM}) AS INT)").alias("bucket"),
+        F.expr(f"CAST(pmod(h, {DV_DIM}) AS INT)").alias("bucket"),
         F.expr(
-            f"CASE WHEN pmod({h_sql} DIV {DV_DIM}, 2) = 0 THEN 1 ELSE -1 END"
+            f"CASE WHEN pmod(h DIV {DV_DIM}, 2) = 0 THEN 1 ELSE -1 END"
         ).alias("sign"),
     )
     sums = cell.groupBy("doc_id", "bucket").agg(

@@ -147,6 +147,11 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Used by ``__spark_entry__.queries()`` so the DuckDB oracle can derive the
     identical table from its ``documents`` view.
     """
+    # NO spread_scan here (r9 measured non-fix): the detector costs only
+    # ~0.06 ms/row, so fanning the 5000-row bench scan to 32 tasks paid
+    # more in per-task overhead than the parallelism bought back
+    # (kg_mentions 0.42 -> 1.26 s, kg_triples 0.60 -> 1.87 s); the
+    # compute-heavy shingle/md5 readers keep the spread instead.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return derive_transcripts(docs.select(F.col("doc_id").alias("k")))
 

@@ -54,9 +54,19 @@ def test_no_row_at_a_time_python_anywhere(spark):
 
 
 def test_flagship_native_single_exchange(spark):
+    """The flagship keeps exactly ONE data shuffle (the triple groupBy).
+    A keyless RoundRobinPartitioning exchange is additionally allowed:
+    that is sources/scan.spread_scan's adaptive scan fan-out, which only
+    exists when the input file is too small for the scan to parallelize
+    itself (r9) — on a real multi-split corpus it is absent, so the
+    single-hash-exchange scale claim is unchanged."""
     plan = _plan(entrymod.queries()["kg_triples_native"](spark, SF))
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-    assert n_ex == 1, f"flagship should shuffle exactly once, saw {n_ex}"
+    n_spread = 1 if re.search(r"roundrobinpartitioning", plan, re.I) else 0
+    assert n_ex - n_spread == 1, (
+        f"flagship should have exactly one data shuffle (+ optional "
+        f"adaptive spread), saw {n_ex} exchanges ({n_spread} round-robin)"
+    )
 
 
 def test_mention_scan_prunes_columns(spark):
