@@ -49,12 +49,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread_scan(spark.read.parquet(path), path)
 
 
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-spread documents scan for the operators whose per-row work is a
+    single md5 (dd_exact, dd_incremental): there the spread exchange costs
+    more than the parallelism it buys (dd_incremental 0.25 -> 0.59 s — the
+    r9 measured counter-case to _docs' spread)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 # --- exact dedup ---------------------------------------------------------------
 
 def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content, keeper = min
     doc_id.  The shuffle key is the 60-bit hash, not the document text."""
-    d = _docs(spark, sf_dir)
+    d = _docs_raw(spark, sf_dir)
     return (
         d.select("doc_id", mdhash_spark(F.col("text")).alias("text_fp"))
         .groupBy("text_fp")
@@ -866,7 +874,7 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: per-request duplicate suppression, api.py:66-84."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs_raw(spark, sf_dir).select(
         "doc_id", mdhash_spark(F.col("text")).alias("text_fp")
     )
     inc = d.filter(F.pmod("doc_id", F.lit(INCR_MOD)) == INCR_REM)
