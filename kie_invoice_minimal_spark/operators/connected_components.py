@@ -13,10 +13,13 @@ in MapReduce and Beyond") that converge to rooted stars in O(log n) rounds.
               emit (x, m) for x in N<(u) ∪ {u}, x != m
 
 Implementation notes (the scale story):
-- the per-node min is computed with a **two-level salted aggregation**
-  (min per (u, salt) then min per u) so a hot hub (an alias appearing in
-  millions of conversations) never funnels into one reducer — the explicit
-  skew salting the north rule requires, on top of AQE's skew-join handling;
+- the per-node min is ONE hash aggregate: min is combinable, so Spark's
+  partial (map-side) aggregation pre-combines each map partition's rows
+  per key before the exchange — a hot hub (an alias appearing in millions
+  of conversations) ships at most one row per map partition to its
+  reducer, the same funneling bound the r1-r8 two-level salted version
+  bought with an extra shuffle per star per round (r9; explicit salting
+  stays reserved for non-combinable aggregations);
 - each round ends in localCheckpoint() to truncate lineage (an iterative
   loop otherwise grows an unbounded plan tree);
 - convergence = edge-set fingerprint (count + xor-ish hash sum) unchanged;
@@ -30,19 +33,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CC_SALT = 16
 MAX_ROUNDS = 25
 
 
 def _min_neighbor(edges: DataFrame, include_self: bool) -> DataFrame:
-    """min(v) per u via two-level salted agg — skew-safe for hot hubs."""
-    lvl1 = (
-        edges.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(CC_SALT)))
-        .groupBy("u", "_salt")
-        .agg(F.min("v").alias("mv"))
-        .groupBy("u")
-        .agg(F.min("mv").alias("min_nbr"))
-    )
+    """min(v) per u — ONE hash aggregate (r9).
+
+    The r1-r8 version ran a two-level salted aggregation
+    (groupBy(u, salt).min -> groupBy(u).min) to protect hot hubs.  For a
+    COMBINABLE aggregate like min that second level is redundant: Spark's
+    partial (map-side) aggregation already pre-combines every map
+    partition's rows per key before the exchange, so a hub with millions
+    of in-edges ships at most one row PER MAP PARTITION to its reducer —
+    exactly the funneling bound the explicit salt provided, without the
+    extra shuffle (guide §2.3 "aggregate before you shuffle").  The salt
+    remains the right tool for non-combinable aggregations (collect_list
+    and friends); dropping it here removes one exchange per star per
+    round — 2 per CC round."""
+    lvl1 = edges.groupBy("u").agg(F.min("v").alias("min_nbr"))
     if include_self:
         lvl1 = lvl1.withColumn("m", F.least("u", "min_nbr")).drop("min_nbr")
     else:
@@ -53,17 +61,18 @@ def _min_neighbor(edges: DataFrame, include_self: bool) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """Symmetrize; per u re-hang strictly-larger neighbors onto m.
 
-    No .distinct() on the output (r9): duplicates are harmless to every
-    consumer (_small_star's mins are duplicate-insensitive, the round's
-    final distinct dedupes), the output row count is bounded by |sym|
-    with or without it, and dropping the exchange removes one shuffle
-    from every CC round."""
+    The output .distinct() stays (r9 measured wash locally, kept for
+    scale): it dedupes band-collision duplicates before _small_star AND
+    its exchange is the one materialization all three small-star
+    consumers reuse — without it the re-hang join re-executes per
+    consumer."""
     sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = _min_neighbor(sym, include_self=True)
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
     )
 
 

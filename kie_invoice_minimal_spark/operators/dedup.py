@@ -723,14 +723,17 @@ def dd_band_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cc.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left")
         .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
     )
-    relabel = lab.groupBy("component").agg(F.min("doc_id").alias("cluster_id"))
-    return (
-        lab.join(relabel, "component")
-        .select(
-            "doc_id",
-            "cluster_id",
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
-        )
+    # relabel deleted (r9): on the star-collapsed graph every CC node IS a
+    # doc_id, and connected_components' contract is component = min member
+    # id — so min(doc_id) per component equals the component itself and
+    # the old groupBy + join-back relabel was an identity (it is NOT one
+    # in the DuckDB twin, whose bipartite formulation can surface a
+    # negative bucket node as the component min — the twin keeps its
+    # relabel).  Two exchanges gone, values unchanged.
+    return lab.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("doc_id") == F.col("component")).alias("is_keeper"),
     )
 
 

@@ -46,11 +46,21 @@ def link_entities(mentions: DataFrame, types: tuple[str, ...] = ("BRAND",)) -> D
         "surface",
         F.coalesce("component", "sid").alias("entity_id"),
     )
-    # plain join — canon is O(entities), too big to force-broadcast at
-    # corpus scale; AQE broadcasts it when it fits
-    canon = linked.groupBy("entity_id").agg(F.min("surface").alias("canonical_surface"))
-    return linked.join(canon, "entity_id").select(
-        "surface", "entity_id", "canonical_surface"
+    # canonical surface as a window min over entity_id (r9): the previous
+    # groupBy + join back shuffled linked by entity_id TWICE (once for the
+    # aggregate, once for the probe side of the join) for the same
+    # co-location the single window exchange provides; per-entity data in
+    # one task is bounded by the entity's variant count — the same bound
+    # the join's probe side already implied.  Values identical (min is
+    # deterministic).
+    from pyspark.sql import Window
+
+    return linked.select(
+        "surface",
+        "entity_id",
+        F.min("surface")
+        .over(Window.partitionBy("entity_id"))
+        .alias("canonical_surface"),
     )
 
 
