@@ -88,7 +88,11 @@ def _el_alias_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    # detector materialized once — m feeds the EL stage and the triple
+    # rewrite, which run as separate jobs (see kg_canonical_pagerank)
+    m = detect_mentions_arrow(
+        transcripts_from_documents(spark, sf_dir)
+    ).localCheckpoint()
     emap = link_entities(m.filter(F.col("mention_type") == "BRAND"))
     return canonical_triples(m, emap)
 

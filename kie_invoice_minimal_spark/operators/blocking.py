@@ -70,10 +70,18 @@ def surface_signatures(mentions: DataFrame, surface_col: str = "surface") -> Dat
 
     Returns: surface, norm, grams (array<string>), band_0..band_{N_BANDS-1}.
     """
+    return signatures_from_surfaces(
+        mentions.select(F.col(surface_col).alias("surface")).distinct()
+    )
+
+
+def signatures_from_surfaces(surf: DataFrame) -> DataFrame:
+    """Signatures from an ALREADY-DISTINCT ``surface`` table (r9): callers
+    that materialize the distinct-surface set once (link_entities) feed it
+    here directly, so the upstream mention lineage is not re-executed per
+    consumer job."""
     surf = (
-        mentions.select(F.col(surface_col).alias("surface"))
-        .distinct()
-        .withColumn("norm", normalize_surface(F.col("surface")))
+        surf.withColumn("norm", normalize_surface(F.col("surface")))
         .withColumn("grams", shingles(F.col("norm")))
     )
     # minhash_i = min over grams of the i-th affine transform of ONE base
@@ -115,13 +123,24 @@ def candidate_pairs(
     block_key.  Pairs are deduped across bands (a pair sharing 3 bands
     appears once, keyed by its smallest band).
     """
+    return candidate_pairs_from_surfaces(
+        mentions.select(F.col(surface_col).alias("surface")).distinct(),
+        max_block_size=max_block_size,
+    )
+
+
+def candidate_pairs_from_surfaces(
+    surf: DataFrame, max_block_size: int = MAX_BLOCK_SIZE
+) -> DataFrame:
+    """candidate_pairs over an ALREADY-DISTINCT surface table (r9) — see
+    signatures_from_surfaces for why callers pass one in."""
     # The signature table is the root of a diamond (bands, block-size
     # counts, both self-join sides) but needs NO explicit materialization:
     # every branch shares the distinct()'s exchange, which Spark reuses
     # (ReusedExchange).  Measured A/B at sf0.1: an eager localCheckpoint
     # here was ~1s SLOWER per query (extra job) than letting the reuse
     # happen — don't re-add it.
-    sig = surface_signatures(mentions, surface_col)
+    sig = signatures_from_surfaces(surf)
     bands = sig.select(
         "surface",
         "norm",

@@ -864,7 +864,14 @@ def kg_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.transcripts import transcripts_from_documents
     from .mention_detect import detect_mentions_arrow
 
-    m = detect_mentions_arrow(transcripts_from_documents(spark, sf_dir))
+    # detector output materialized ONCE (r9): m feeds BOTH the EL stage
+    # and the resolved-mention pairing, which execute as separate jobs
+    # (the EL/CC checkpoints are job boundaries), so without the cut the
+    # Arrow detector re-ran per consumer.  This is the in-query analog of
+    # the mentions snapshot the staged variant persists to parquet.
+    m = detect_mentions_arrow(
+        transcripts_from_documents(spark, sf_dir)
+    ).localCheckpoint()
     emap = link_entities(m.filter(F.col("mention_type") == "BRAND"))
     resolved = entity_resolved_mentions(
         m, emap.select("surface", "canonical_surface")

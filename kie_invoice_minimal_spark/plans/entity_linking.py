@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.blocking import candidate_pairs
+from ..operators.blocking import candidate_pairs_from_surfaces
 from ..operators.connected_components import connected_components
 from ..operators.gcn_scorer import accepted_edges, score_candidates
 
@@ -30,7 +30,16 @@ def link_entities(mentions: DataFrame, types: tuple[str, ...] = ("BRAND",)) -> D
     representative is correct).
     """
     m = mentions.filter(F.col("mention_type").isin(*types))
-    pairs = candidate_pairs(m)
+    # materialize the distinct-surface table ONCE (r9): it is the root of
+    # every downstream branch (blocking signatures, the CC edge build, the
+    # final surface join), and those branches execute in SEPARATE jobs
+    # (the CC loop's checkpoints are job boundaries), where ReusedExchange
+    # cannot help — without the cut the detector + distinct lineage
+    # re-executed per job (3x per EL entry).  The table is structurally
+    # tiny: distinct surface FORMS, orders of magnitude smaller than the
+    # mention stream (the module docstring's "the big dedup").
+    surf = m.select("surface").distinct().localCheckpoint()
+    pairs = candidate_pairs_from_surfaces(surf)
     edges = accepted_edges(score_candidates(pairs))
 
     id_of = F.xxhash64
@@ -39,7 +48,7 @@ def link_entities(mentions: DataFrame, types: tuple[str, ...] = ("BRAND",)) -> D
     )
     assign = connected_components(cc_in)  # node, component
 
-    surfaces = m.select("surface").distinct().withColumn("sid", id_of("surface"))
+    surfaces = surf.withColumn("sid", id_of("surface"))
     linked = surfaces.join(
         assign, surfaces.sid == assign.node, "left"
     ).select(
