@@ -63,6 +63,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread_scan(spark.read.parquet(path), path)
 
 
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-spread documents scan for operators whose per-row work is one
+    split/size (ta_pack_sequences, ta_mixture_weights): the spread
+    exchange costs more than the parallelism buys there (same measured
+    trade as dedup._docs_raw, r9)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 # --- token counting ----------------------------------------------------------
 
 def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +450,7 @@ def ta_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-pattern at 100 TB.  All arithmetic is exact BIGINT."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs_raw(spark, sf_dir).select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         F.floor(F.col("doc_id") / PACK_BUCKET).alias("bkt"),
@@ -509,7 +517,7 @@ def ta_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(#domains) rows), not the corpus."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs_raw(spark, sf_dir).select(
         "lang", "source", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok")
     )
     g = d.groupBy("lang", "source").agg(

@@ -46,14 +46,19 @@ def get_spark(
         # is ~16 B/row however big the corpus is; the per-row work is a
         # 64-dim dot or a set intersection) coalesces to 1-4 partitions at
         # the default 1 MB floor and serializes the verify compute.  A
-        # 128k floor keeps those stages parallel; stages with real volume
+        # 256k floor keeps those stages parallel; stages with real volume
         # are governed by advisoryPartitionSizeInBytes as before (the
         # floor only ever binds when a stage's TOTAL bytes are tiny).
-        # Interleaved A/B at sf0.1: dd_ngram_jaccard 3.2->1.1 s,
-        # ss_topk_docs 2.4->0.85 s, dd_embedding_cosine 3.2->2.4 s.
+        # Interleaved A/Bs at sf0.1: the verify-heavy set
+        # (dd_ngram_jaccard, dd_embedding_cosine, ss_topk_docs,
+        # dd_contamination) sums 11.8 s at the 1MB default vs 7.2-8.3 s
+        # at 256k (dd_ngram alone 3.2->1.1 s at 128k), while the
+        # latency-bound graph family is flat at 256k but pays 8-13% at
+        # 128k (many tiny sequential stages x more tasks) — 256k is the
+        # measured optimum of that trade.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "128k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
