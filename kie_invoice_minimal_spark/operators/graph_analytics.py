@@ -977,7 +977,7 @@ def graph_family_staged(spark, sf_dir: str, root: str) -> dict[str, DataFrame]:
     """The whole plain-graph family derived from ONE graph_snapshots run
     — the suite's probe jobs collapse to 1 on this path (pinned by
     test_r8_graph_stage.py, which counts CAP_PATH_STATS probes across
-    the full family build).  Includes the two r8 training-feed samplers
+    the full family build).  Includes the three r8 training-feed samplers
     (neighbor/negative/walks): in production the GNN feed derives from the
     SAME maintained edge snapshots as the analytics, so a training run
     re-probes and re-materializes nothing.  Canonical-pagerank entries

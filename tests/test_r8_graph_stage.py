@@ -47,8 +47,8 @@ def test_cold_family_pays_one_probe_each(spark):
 
 def test_staged_family_values_equal_cold(spark, tmp_path):
     """staged == cold for every family member (same oracle semantics; the
-    driver gate certifies the pagerank pair, this pins the other ten,
-    including the two r8 training-feed samplers)."""
+    driver gate certifies the pagerank pair, this pins the other eleven,
+    including the three r8 training-feed samplers)."""
     root = str(tmp_path / "gstage_eq")
     fam = GA.graph_family_staged(spark, SF, root)
     cold = {
