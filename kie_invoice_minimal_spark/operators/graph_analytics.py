@@ -280,6 +280,14 @@ def pagerank_scores(
 
     pr = nodes.withColumn("score", F.lit(PR_SCALE).cast("long"))
     insum_cap = headroom // PR_DAMP_NUM
+    # dangling-node coverage via a zero-contribution UNION into the
+    # per-iteration aggregation instead of a nodes LEFT JOIN after it
+    # (r9): sum(c) over contribs ∪ {(node, 0) ∀ nodes} covers every node
+    # with insum >= 0 exactly as coalesce(insum, 0) did — identical
+    # exact-integer values — but drops one join stage from EACH of the 8
+    # unrolled iterations (the union rides the same groupBy exchange;
+    # the zero rows partial-aggregate map-side like everything else).
+    zeros = nodes.select("node", F.lit(0).cast("long").alias("c"))
     for _ in range(iters):
         contrib = pr.join(ew, pr.node == ew.src).select(
             F.col("dst").alias("node"),
@@ -293,13 +301,16 @@ def pagerank_scores(
                 f" END"
             ).alias("c"),
         )
-        insum = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("insum"))
-        pr = nodes.join(insum, "node", "left").select(
+        insum = (
+            contrib.unionByName(zeros)
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("insum"))
+        )
+        pr = insum.select(
             "node",
             F.expr(
-                f"CASE WHEN coalesce(insum, CAST(0 AS BIGINT)) >= 0"
-                f" AND coalesce(insum, CAST(0 AS BIGINT)) <= {insum_cap}"
-                f" THEN CAST({PR_BASE} + ({PR_DAMP_NUM} * coalesce(insum, CAST(0 AS BIGINT)))"
+                f"CASE WHEN insum >= 0 AND insum <= {insum_cap}"
+                f" THEN CAST({PR_BASE} + ({PR_DAMP_NUM} * insum)"
                 f" DIV {PR_DAMP_DEN} AS BIGINT)"
                 f" ELSE CAST(raise_error(concat("
                 f"'pagerank int64 headroom exceeded: insum=',"
