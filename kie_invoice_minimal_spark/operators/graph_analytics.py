@@ -2210,13 +2210,18 @@ def random_walks(
                 F.lit(t).cast("int").alias("step"),
                 F.col(f"a{t}.dst").alias("node"),
             )
-            # per-step cut (the kcore per-round discipline): step t feeds
-            # BOTH the union and step t+1, and without it every union
-            # branch re-states the whole step prefix — correctness would
-            # then lean on runtime ReusedExchange instead of the plan.
-            # The frontier is bounded at N·walks rows, so the cut is tiny.
-            .localCheckpoint()
         )
+        # per-step cut (the kcore per-round discipline): step t feeds
+        # BOTH the union and step t+1, and without it every union
+        # branch re-states the whole step prefix — correctness would
+        # then lean on runtime ReusedExchange instead of the plan.
+        # The frontier is bounded at N·walks rows, so the cut is tiny.
+        # The FINAL step is not cut (r9): it feeds only the union, so
+        # its single-consumer lineage runs once either way and the
+        # eager checkpoint job was pure overhead — one job less on the
+        # serial ladder the r8 VERDICT flagged (its item 5).
+        if t < length:
+            cur = cur.localCheckpoint()
         out.append(cur)
     return reduce(lambda x, y: x.unionByName(y), out)
 
