@@ -1647,7 +1647,7 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(iters):
+    for i in range(iters):
         scores = _lpa_scores(e0, lbl, headroom)
         best = scores.groupBy("src").agg(F.max("sw").alias("mw"))
         lbl = (
@@ -1656,8 +1656,14 @@ def label_propagation(
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .select(F.col("src").alias("node"), "label")
-            .localCheckpoint()
         )
+        # re-checkpoint per round EXCEPT the last (r9): an intermediate
+        # round's labels feed the next round's argmax (which references
+        # its score table twice — uncut lineage doubles per round), but
+        # the final round's labels feed only the returned projection, so
+        # its eager checkpoint job was pure overhead.
+        if i < iters - 1:
+            lbl = lbl.localCheckpoint()
     return lbl
 
 
